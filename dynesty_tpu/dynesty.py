@@ -1,0 +1,167 @@
+"""User-facing factories: argument resolution for the static and dynamic
+nested samplers (reference ``dynesty.py:458-774``).
+
+Extra TPU-specific knob: ``likelihood_mode`` selects how the user
+callables are evaluated —
+
+* ``'jax'`` (default): JAX-traceable per-point functions, vmapped over the
+  proposal batch on device;
+* ``'vectorized'``: JAX-traceable batched functions;
+* ``'host'``: arbitrary Python callables evaluated on the host through
+  ``io_callback`` (dynesty's fully-general contract, at reduced speed);
+  an optional ``pool`` maps the per-point calls.
+
+``queue_size`` is the proposal batch width (the device parallelism axis,
+the analogue of the reference's pool queue).
+"""
+
+import math
+
+import numpy as np
+
+from .bounding import get_bound  # noqa: F401  (re-export)
+from .internal.likelihood import LogLikelihood
+from .internal.samplers import (InternalSampler, UniformBoundSampler,
+                                get_internal_sampler)
+from .sampler import Sampler, initialize_live_points
+from .utils.misc import get_random_generator
+
+__all__ = ["NestedSampler", "DynamicNestedSampler"]
+
+_DEFAULT_ENLARGE = 1.25
+_DEFAULT_UNIF_BOOTSTRAP = 5
+
+
+def _get_enlarge_bootstrap(sample, enlarge, bootstrap):
+    """Auto rules of the reference (``dynesty.py:169-200``)."""
+    if enlarge is not None and bootstrap is None:
+        assert enlarge >= 1
+        return enlarge, 0
+    if enlarge is None and bootstrap is not None:
+        assert bootstrap > 1 or bootstrap == 0
+        return 1, bootstrap
+    if enlarge is None and bootstrap is None:
+        if isinstance(sample, UniformBoundSampler):
+            return 1, _DEFAULT_UNIF_BOOTSTRAP
+        return _DEFAULT_ENLARGE, 0
+    if bootstrap == 0 or enlarge == 1:
+        return enlarge, bootstrap
+    raise ValueError("enlarge and bootstrap together only make sense with "
+                     "bootstrap=0 or enlarge=1")
+
+
+def _check_first_update(first_update):
+    for k in first_update.keys():
+        if k not in ("min_ncall", "min_eff"):
+            raise ValueError(f"Unrecognized first_update key {k}")
+
+
+def _get_nonbounded(ndim, periodic, reflective):
+    """Mask that is True for dims with hard unit-cube boundaries."""
+    if periodic is not None and reflective is not None:
+        if np.intersect1d(periodic, reflective).size > 0:
+            raise ValueError("A parameter cannot be both periodic and "
+                             "reflective.")
+    if periodic is None and reflective is None:
+        return None
+    nonbounded = np.ones(ndim, dtype=bool)
+    for idx in (periodic, reflective):
+        if idx is not None:
+            if np.max(idx) >= ndim:
+                raise ValueError("periodic/reflective index >= ndim")
+            nonbounded[np.asarray(idx)] = False
+    return nonbounded
+
+
+def _resolve_update_interval(update_interval, internal_sampler, nlive):
+    if update_interval is None:
+        ratio = internal_sampler.update_bound_interval_ratio
+    elif isinstance(update_interval, float):
+        ratio = update_interval
+    elif isinstance(update_interval, int):
+        ratio = update_interval / nlive
+    else:
+        raise ValueError(f"Invalid update_interval {update_interval}")
+    return max(1, int(round(ratio * nlive)))
+
+
+def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
+                 periodic, reflective, walks, facc, slices, ncdim, blob,
+                 likelihood_mode, pool, queue_size, rstate,
+                 logl_args, logl_kwargs, ptform_args, ptform_kwargs,
+                 enlarge, bootstrap, update_interval, first_update):
+    ncdim = ncdim or ndim
+    if ncdim != ndim and sample in ("slice", "rslice"):
+        raise ValueError("ncdim unsupported for slice sampling")
+    nonbounded = _get_nonbounded(ndim, periodic, reflective)
+    internal_sampler = get_internal_sampler(
+        sample, ndim, ncdim=ncdim, nonbounded=nonbounded, periodic=periodic,
+        reflective=reflective, walks=walks, facc=facc, slices=slices)
+    enlarge, bootstrap = _get_enlarge_bootstrap(internal_sampler, enlarge,
+                                               bootstrap)
+    first_update = first_update or {}
+    _check_first_update(first_update)
+    rstate = get_random_generator(rstate)
+
+    like = LogLikelihood(loglikelihood, prior_transform, ndim,
+                         mode=likelihood_mode, blob=blob, pool=pool,
+                         logl_args=logl_args, logl_kwargs=logl_kwargs,
+                         ptform_args=ptform_args,
+                         ptform_kwargs=ptform_kwargs)
+    if queue_size is None:
+        queue_size = max(32, min(nlive, 256))
+    bound_update_interval = _resolve_update_interval(
+        update_interval, internal_sampler, nlive)
+    return dict(like=like, internal_sampler=internal_sampler,
+                enlarge=enlarge, bootstrap=bootstrap,
+                first_update=first_update, rstate=rstate,
+                queue_size=queue_size, ncdim=ncdim,
+                bound_update_interval=bound_update_interval,
+                bound=bound)
+
+
+class NestedSampler(Sampler):
+    """Static nested sampler factory (reference ``dynesty.py:578-684``)."""
+
+    def __init__(self, loglikelihood, prior_transform, ndim, nlive=500,
+                 bound="multi", sample="auto", periodic=None,
+                 reflective=None, update_interval=None, first_update=None,
+                 rstate=None, queue_size=None, pool=None, use_pool=None,
+                 live_points=None, logl_args=None, logl_kwargs=None,
+                 ptform_args=None, ptform_kwargs=None, enlarge=None,
+                 bootstrap=None, walks=None, facc=0.5, slices=None,
+                 ncdim=None, blob=False, likelihood_mode="jax",
+                 save_evaluation_history=False, history_filename=None):
+        cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
+                           bound, sample, periodic, reflective, walks, facc,
+                           slices, ncdim, blob, likelihood_mode, pool,
+                           queue_size, rstate, logl_args, logl_kwargs,
+                           ptform_args, ptform_kwargs, enlarge, bootstrap,
+                           update_interval, first_update)
+        live_points, logvol_init, init_ncalls = initialize_live_points(
+            live_points, cfg["like"], nlive, ndim, cfg["rstate"], blob=blob)
+
+        super().__init__(
+            loglikelihood=cfg["like"],
+            ndim=ndim,
+            live_points=live_points,
+            sampling=cfg["internal_sampler"],
+            bounding=cfg["bound"],
+            ncdim=cfg["ncdim"],
+            rstate=cfg["rstate"],
+            queue_size=cfg["queue_size"],
+            bound_update_interval=cfg["bound_update_interval"],
+            first_bound_update=cfg["first_update"],
+            bound_bootstrap=cfg["bootstrap"],
+            bound_enlarge=cfg["enlarge"],
+            blob=blob,
+            logvol_init=logvol_init)
+        self.ncall = init_ncalls
+        self.pool = pool
+
+
+def DynamicNestedSampler(*args, **kwargs):
+    """Dynamic nested sampler factory (defined in
+    :mod:`dynesty_tpu.dynamicsampler`; imported lazily to avoid a cycle)."""
+    from .dynamicsampler import DynamicSampler
+    return DynamicSampler.create(*args, **kwargs)

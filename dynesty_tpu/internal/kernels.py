@@ -1,0 +1,534 @@
+"""Jitted batched proposal rounds: the TPU replacement for the reference's
+process-pool proposal queue (``sampler.py:676-717``).
+
+One "round" draws ``Q`` independent constrained proposals at a fixed
+likelihood threshold ``loglstar``:
+
+* ``unif``  — uniform rejection sampling from the bounding distribution
+  (reference ``internal_samplers.py:243-340``), restructured so successes
+  accumulate into output slots while a ``lax.while_loop`` keeps proposing
+  whole waves of ``Q`` candidates (big batched likelihood calls).
+* ``rwalk`` — exactly ``walks`` Metropolis-style steps per lane
+  (``internal_samplers.py:866-986``), a ``lax.scan`` over steps with every
+  step evaluating the likelihood for all ``Q`` lanes at once.
+* ``slice``/``rslice`` — Neal (2003) stepping-out/doubling plus shrinkage
+  (``internal_samplers.py:1075-1206``), with all data-dependent loops as
+  ``lax.while_loop`` over active-lane masks.
+
+Everything here is shape-static: ``Q``, ``walks``, ``slices``, the bound's
+padded ellipsoid count, and the periodic/reflective masks are compile-time
+constants; scalars (``loglstar``, ``scale``) and the bound arrays are
+runtime inputs, so one compilation serves an entire run.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import (apply_reflect_jax, randsphere_batch,
+                            unitcheck_batch)
+
+__all__ = [
+    "make_unif_round", "make_rwalk_round", "make_slice_round",
+    "pad_ellipsoids",
+]
+
+_NEG_INF = -jnp.inf
+
+
+def _tree_where(mask, a, b):
+    """Select ``a`` where mask else ``b`` over matching pytrees; ``mask``
+    is (Q,) and leaves are (Q, ...)."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+    return jax.tree.map(sel, a, b)
+
+
+def _wrap_boundaries(u, periodic_mask, reflective_mask):
+    """Apply periodic wrapping / reflection on the marked dimensions."""
+    if periodic_mask is not None:
+        u = jnp.where(periodic_mask, jnp.mod(u, 1.0), u)
+    if reflective_mask is not None:
+        u = jnp.where(reflective_mask, apply_reflect_jax(u), u)
+    return u
+
+
+def _masked_eval(like, u, incube):
+    """Evaluate the batched likelihood at ``u`` (clamped into the cube for
+    safety) and mask out-of-cube lanes to -inf."""
+    uc = jnp.clip(u, 0.0, 1.0)
+    v, logl, blob = like.batch_eval(uc)
+    logl = jnp.where(incube, logl, _NEG_INF)
+    return v, logl, blob
+
+
+def _zeros_like_batch(like, q, ndim, dtype):
+    """Empty result buffers (u, v, logl, blob) for Q lanes."""
+    u = jnp.full((q, ndim), 0.5, dtype=dtype)
+    v = jnp.zeros((q, like.npdim), dtype=dtype)
+    logl = jnp.full((q,), _NEG_INF, dtype=dtype)
+    if like.blob and like.blob_shape_dtype is not None:
+        bs, bd = like.blob_shape_dtype
+        blob = jnp.zeros((q,) + tuple(bs), dtype=bd)
+    else:
+        blob = None
+    return u, v, logl, blob
+
+
+# ==========================================================================
+# bound sampling (device side)
+
+
+def pad_ellipsoids(ctrs, axes, ams, logvols, min_pad=1):
+    """Pad stacked ellipsoid arrays to a power-of-two count (with a
+    validity mask) so the jitted round recompiles only O(log M) times as
+    the decomposition grows."""
+    m = len(logvols)
+    mpad = max(min_pad, 1 << (m - 1).bit_length())
+    ndim = ctrs.shape[1]
+
+    def pad(arr, fill=0.0):
+        out = np.full((mpad,) + arr.shape[1:], fill, dtype=np.float64)
+        out[:m] = arr
+        return out
+
+    # identity precision in the padding slots avoids nan in masked einsums
+    ams_pad = pad(ams)
+    ams_pad[m:] = np.eye(ndim)
+    return {
+        "ctrs": pad(ctrs),
+        "axes": pad(axes),
+        "ams": ams_pad,
+        "logvols": pad(logvols, fill=-np.inf),
+        "mask": np.arange(mpad) < m,
+    }
+
+
+def _sample_ellipsoid_union(key, arrays, q, ncdim, dtype):
+    """Draw ``q`` candidates from a union of ellipsoids: volume-weighted
+    ellipsoid choice, ball sample mapped through its axes, 1/q overlap
+    rejection (with the reference's numerical q==0 rescue).  Returns
+    (points (q, ncdim), valid (q,))."""
+    ctrs = arrays["ctrs"].astype(dtype)
+    axes = arrays["axes"].astype(dtype)
+    ams = arrays["ams"].astype(dtype)
+    logvols = arrays["logvols"]
+    mask = arrays["mask"]
+
+    kc, kb, ka = jax.random.split(key, 3)
+    logp = jnp.where(mask, logvols, -jnp.inf)
+    idx = jax.random.categorical(kc, logp, shape=(q,))
+    ball = randsphere_batch(kb, (q,), ncdim, dtype=dtype)
+    x = ctrs[idx] + jnp.einsum("qij,qj->qi", axes[idx], ball)
+
+    # membership count over all (masked) ellipsoids
+    d = x[:, None, :] - ctrs[None, :, :]
+    sq = jnp.einsum("qmi,mij,qmj->qm", d, ams, d)
+    sq = jnp.where(mask[None, :], sq, jnp.inf)
+    nin = jnp.sum(sq < 1.0, axis=1)
+    nin_loose = jnp.sum(sq <= 1.0 + 1e-3, axis=1)
+    nin = jnp.where(nin > 0, nin, nin_loose)  # round-off rescue
+    accept = jax.random.uniform(ka, (q,), dtype=dtype) < \
+        1.0 / jnp.maximum(nin, 1)
+    valid = accept & (nin > 0)
+    return x, valid
+
+
+def _sample_friends_union(key, arrays, q, ncdim, dtype, ftype):
+    """Draw ``q`` candidates from a union of identical balls/cubes centered
+    at ``arrays['ctrs']`` (the live points), with 1/q overlap rejection."""
+    ctrs = arrays["ctrs"].astype(dtype)
+    axes = arrays["axes"].astype(dtype)
+    axes_inv = arrays["axes_inv"].astype(dtype)
+    nctrs = ctrs.shape[0]
+
+    kc, kb, ka = jax.random.split(key, 3)
+    idx = jax.random.randint(kc, (q,), 0, nctrs)
+    if ftype == "balls":
+        offset = randsphere_batch(kb, (q,), ncdim, dtype=dtype)
+    else:
+        offset = jax.random.uniform(kb, (q, ncdim), dtype=dtype) * 2.0 - 1.0
+    x = ctrs[idx] + offset @ axes  # axes is symmetric (sqrtm)
+
+    dt = jnp.einsum("qmi,ij->qmj", ctrs[None, :, :] - x[:, None, :],
+                    axes_inv)
+    if ftype == "balls":
+        dist = jnp.linalg.norm(dt, axis=-1)
+    else:
+        dist = jnp.abs(dt).max(axis=-1)
+    nin = jnp.sum(dist <= 1.0, axis=1)
+    nin = jnp.maximum(nin, 1)  # the chosen center always contains x
+    accept = jax.random.uniform(ka, (q,), dtype=dtype) < 1.0 / nin
+    return x, accept
+
+
+# ==========================================================================
+# uniform-in-bound kernel
+
+
+def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
+                    dtype=jnp.float64, max_waves=100000):
+    """Build the jitted uniform-sampling round.
+
+    Returns ``fn(key, loglstar, bound_arrays) -> dict`` with per-slot
+    ``u, v, logl, blob``, plus scalar ``nc`` (log-likelihood evaluations of
+    in-bound candidates), ``n_proposals`` (total candidates drawn) and
+    ``n_filled``.
+    """
+    if nonbounded is not None:
+        nonbounded = np.asarray(nonbounded, dtype=bool)
+        nb_cluster = jnp.asarray(nonbounded[:ncdim])
+    else:
+        nb_cluster = None
+    n_extra = ndim - ncdim
+
+    def draw_cluster(key, arrays):
+        if bound_kind == "cube":
+            u = jax.random.uniform(key, (q, ncdim), dtype=dtype)
+            return u, jnp.ones((q,), dtype=bool)
+        if bound_kind == "ellipsoids":
+            return _sample_ellipsoid_union(key, arrays, q, ncdim, dtype)
+        return _sample_friends_union(key, arrays, q, ncdim, dtype,
+                                     bound_kind)
+
+    def round_fn(key, loglstar, arrays):
+        u0, v0, logl0, blob0 = _zeros_like_batch(like, q, ndim, dtype)
+
+        def cond(carry):
+            (_, n_filled, waves, _, _, _) = carry[:6]
+            return (n_filled < q) & (waves < max_waves)
+
+        def body(carry):
+            key, n_filled, waves, nc, n_prop, bufs = carry
+            key, kd, ke = jax.random.split(key, 3)
+            uc, valid = draw_cluster(kd, arrays)
+            if n_extra > 0:
+                u_extra = jax.random.uniform(ke, (q, n_extra), dtype=dtype)
+                u_prop = jnp.concatenate([uc, u_extra], axis=1)
+            else:
+                u_prop = uc
+            incube = unitcheck_batch(uc, nb_cluster)
+            valid = valid & incube
+            v_prop, logl_prop, blob_prop = _masked_eval(like, u_prop, valid)
+            success = valid & (logl_prop > loglstar)
+
+            # pack the successes into the next free output slots
+            dest = n_filled + jnp.cumsum(success) - 1
+            dest = jnp.where(success & (dest < q), dest, q)
+            bu, bv, bl, bb = bufs
+            bu = bu.at[dest].set(u_prop, mode="drop")
+            bv = bv.at[dest].set(v_prop, mode="drop")
+            bl = bl.at[dest].set(logl_prop, mode="drop")
+            if bb is not None:
+                bb = jax.tree.map(
+                    lambda buf, val: buf.at[dest].set(val, mode="drop"),
+                    bb, blob_prop)
+            n_new = jnp.minimum(jnp.sum(success).astype(jnp.int32),
+                                q - n_filled)
+            return (key, n_filled + n_new, waves + 1,
+                    nc + jnp.sum(valid).astype(jnp.int32), n_prop + q,
+                    (bu, bv, bl, bb))
+
+        init = (key, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                (u0, v0, logl0, blob0))
+        key, n_filled, waves, nc, n_prop, bufs = jax.lax.while_loop(
+            cond, body, init)
+        bu, bv, bl, bb = bufs
+        return {
+            "u": bu, "v": bv, "logl": bl, "blob": bb,
+            "nc": nc, "n_proposals": n_prop, "n_filled": n_filled,
+        }
+
+    return jax.jit(round_fn)
+
+
+# ==========================================================================
+# random-walk kernel
+
+
+def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
+                     periodic=None, reflective=None, dtype=jnp.float64):
+    """Build the jitted random-walk round: each of the ``q`` lanes performs
+    exactly ``walks`` proposals inside its scaled ellipsoid (axes per
+    lane), accepting moves with ``logl > loglstar``.
+
+    ``fn(key, starts, axes, scale, loglstar) -> dict`` with final per-lane
+    ``u, v, logl, blob`` plus ``n_accept``/``n_reject`` tallies.  Lanes
+    that never accept keep their start point (whose v/logl are passed in,
+    so no re-evaluation is needed).
+    """
+    nb = jnp.asarray(np.asarray(nonbounded, dtype=bool)) \
+        if nonbounded is not None else None
+    pm = _mask_from_indices(periodic, ndim)
+    rm = _mask_from_indices(reflective, ndim)
+    n_extra = ndim - ncdim
+
+    def round_fn(key, start_u, start_v, start_logl, start_blob, axes,
+                 scale, loglstar):
+        def step(carry, step_key):
+            u, v, logl, blob, n_acc, n_rej = carry
+            kd, ke = jax.random.split(step_key)
+            dr = randsphere_batch(kd, (q,), ncdim, dtype=dtype)
+            du = jnp.einsum("qij,qj->qi", axes.astype(dtype), dr) * scale
+            u_cl = u[:, :ncdim] + du
+            if n_extra > 0:
+                u_ex = jax.random.uniform(ke, (q, n_extra), dtype=dtype)
+                u_prop = jnp.concatenate([u_cl, u_ex], axis=1)
+            else:
+                u_prop = u_cl
+            u_prop = _wrap_boundaries(u_prop, pm, rm)
+            ok = unitcheck_batch(u_prop, nb)
+            v_prop, logl_prop, blob_prop = _masked_eval(like, u_prop, ok)
+            accept = ok & (logl_prop > loglstar)
+            u = jnp.where(accept[:, None], u_prop, u)
+            v = jnp.where(accept[:, None], v_prop, v)
+            logl = jnp.where(accept, logl_prop, logl)
+            if blob is not None:
+                blob = _tree_where(accept, blob_prop, blob)
+            return (u, v, logl, blob, n_acc + accept, n_rej + ~accept), None
+
+        n0 = jnp.zeros((q,), dtype=jnp.int32)
+        carry0 = (start_u.astype(dtype), start_v.astype(dtype),
+                  start_logl.astype(dtype), start_blob, n0, n0)
+        keys = jax.random.split(key, walks)
+        (u, v, logl, blob, n_acc, n_rej), _ = jax.lax.scan(
+            step, carry0, keys)
+        return {
+            "u": u, "v": v, "logl": logl, "blob": blob,
+            "nc": jnp.full((q,), walks, dtype=jnp.int32),
+            "n_accept": n_acc, "n_reject": n_rej,
+        }
+
+    return jax.jit(round_fn)
+
+
+def _mask_from_indices(indices, ndim):
+    if indices is None:
+        return None
+    mask = np.zeros(ndim, dtype=bool)
+    mask[np.asarray(indices)] = True
+    return jnp.asarray(mask)
+
+
+# ==========================================================================
+# slice kernels
+
+
+def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
+                     doubling=False, dtype=jnp.float64,
+                     max_shrink_iters=10000):
+    """Build the jitted slice-sampling round.
+
+    ``kind='rslice'``: ``slices`` slice updates per lane along random
+    (axes-transformed, scale-multiplied) directions.
+    ``kind='slice'``: ``slices`` Gibbs passes over all ``ndim`` principal
+    axes in a per-lane shuffled order.
+
+    ``fn(key, starts, axes, scale, loglstar) -> dict`` with final per-lane
+    ``u, v, logl, blob``, per-lane ``nc`` (likelihood evaluations, counting
+    out-of-cube probes like the reference), ``n_expand``/``n_contract``
+    tallies and an ``expansion_warning`` flag (interval expanded > 1000
+    times with stepping-out; the host then switches to doubling mode).
+    """
+    assert kind in ("slice", "rslice")
+    nb = jnp.asarray(np.asarray(nonperiodic, dtype=bool)) \
+        if nonperiodic is not None else None
+    maxlen = math.sqrt(ndim) / 2.0
+    n_steps = slices * ndim if kind == "slice" else slices
+
+    def feval(u0, x, direction):
+        """F(x) along the lane directions; counts handled by callers."""
+        u = u0 + x[:, None] * direction
+        incube = unitcheck_batch(u, nb)
+        v, logl, blob = _masked_eval(like, u, incube)
+        return u, v, logl, blob
+
+    def doubling_accept(x1, u0, direction, loglstar, L, R, fL, fR):
+        """Batched Neal (2003) algorithm 6 acceptance test; returns
+        (accept (q,), nc_increment (q,))."""
+        def cond(c):
+            active = c[0]
+            return jnp.any(active)
+
+        def body(c):
+            active, lhat, rhat, f_lhat, f_rhat, dflag, reject, nc = c
+            mid = 0.5 * (lhat + rhat)
+            dflag = dflag | (((0.0 < mid) & (mid <= x1)) |
+                             ((x1 < mid) & (mid <= 0.0)))
+            go_right = x1 < mid  # shrink the right side toward x1
+            _, _, logl_mid, _ = feval(u0, mid, direction)
+            nc = nc + active
+            f_rhat = jnp.where(active & go_right, logl_mid, f_rhat)
+            rhat = jnp.where(active & go_right, mid, rhat)
+            f_lhat = jnp.where(active & ~go_right, logl_mid, f_lhat)
+            lhat = jnp.where(active & ~go_right, mid, lhat)
+            newly_rejected = active & dflag & (loglstar >= f_lhat) & \
+                (loglstar >= f_rhat)
+            reject = reject | newly_rejected
+            active = active & ~newly_rejected & (rhat - lhat > 1.1)
+            return (active, lhat, rhat, f_lhat, f_rhat, dflag, reject, nc)
+
+        q_ = x1.shape[0]
+        init = (jnp.ones((q_,), bool) & (R - L > 1.1), L, R, fL, fR,
+                jnp.zeros((q_,), bool), jnp.zeros((q_,), bool),
+                jnp.zeros((q_,), jnp.int32))
+        out = jax.lax.while_loop(cond, body, init)
+        return ~out[6], out[7]
+
+    def one_slice_step(key, u0, v0, logl0, blob0, direction, loglstar):
+        """One slice update for all lanes along per-lane ``direction``."""
+        q_ = u0.shape[0]
+        dirlen = jnp.linalg.norm(direction, axis=1)
+        dirnorm = jnp.where(dirlen > maxlen, dirlen / maxlen, 1.0)
+        direction = direction / dirnorm[:, None]
+
+        k0, k1, k2 = jax.random.split(key, 3)
+        r0 = jax.random.uniform(k0, (q_,), dtype=dtype)
+        left = -r0
+        right = 1.0 - r0
+        _, _, logl_l, _ = feval(u0, left, direction)
+        _, _, logl_r, _ = feval(u0, right, direction)
+        nc = jnp.full((q_,), 2, dtype=jnp.int32)
+        n_expand = jnp.zeros((q_,), jnp.int32)
+        expansion_warning = jnp.zeros((), bool)
+
+        if not doubling:
+            def expand(side_sign, x, logl_x, nc, n_expand):
+                def cond(c):
+                    return jnp.any(c[0])
+
+                def body(c):
+                    active, x, logl_x, nc, n_exp = c
+                    x_new = jnp.where(active, x + side_sign, x)
+                    _, _, logl_new, _ = feval(u0, x_new, direction)
+                    logl_x = jnp.where(active, logl_new, logl_x)
+                    nc = nc + active
+                    n_exp = n_exp + active
+                    active = active & (logl_x > loglstar)
+                    return (active, x_new, logl_x, nc, n_exp)
+
+                active0 = logl_x > loglstar
+                return jax.lax.while_loop(
+                    cond, body, (active0, x, logl_x, nc, n_expand))
+
+            _, left, logl_l, nc, n_expand = expand(-1.0, left, logl_l, nc,
+                                                   n_expand)
+            _, right, logl_r, nc, n_expand = expand(+1.0, right, logl_r, nc,
+                                                    n_expand)
+            expansion_warning = jnp.any(n_expand > 1000)
+            big_l, big_r, big_fl, big_fr = left, right, logl_l, logl_r
+        else:
+            def cond(c):
+                return jnp.any(c[0])
+
+            def body(c):
+                active, l, r, fl, fr, nc, n_exp, kk, grow = c
+                kk, kv = jax.random.split(kk)
+                go_left = jax.random.uniform(kv, (q_,), dtype=dtype) < 0.5
+                width = r - l
+                l_new = jnp.where(active & go_left, l - width, l)
+                r_new = jnp.where(active & ~go_left, r + width, r)
+                x_eval = jnp.where(go_left, l_new, r_new)
+                _, _, logl_new, _ = feval(u0, x_eval, direction)
+                fl = jnp.where(active & go_left, logl_new, fl)
+                fr = jnp.where(active & ~go_left, logl_new, fr)
+                nc = nc + active
+                n_exp = n_exp + active * grow
+                grow = jnp.where(active, jnp.minimum(grow * 2, 1 << 30), grow)
+                active = active & ((fl > loglstar) | (fr > loglstar))
+                return (active, l_new, r_new, fl, fr, nc, n_exp, kk, grow)
+
+            active0 = (logl_l > loglstar) | (logl_r > loglstar)
+            grow0 = jnp.ones((q_,), jnp.int32)
+            (_, left, right, logl_l, logl_r, nc, n_expand, k1, _) = \
+                jax.lax.while_loop(cond, body,
+                                   (active0, left, right, logl_l, logl_r,
+                                    nc, n_expand, k1, grow0))
+            big_l, big_r, big_fl, big_fr = left, right, logl_l, logl_r
+
+        # shrinkage loop
+        def s_cond(c):
+            active, it = c[0], c[-1]
+            return jnp.any(active) & (it < max_shrink_iters)
+
+        def s_body(c):
+            (active, l, r, u, v, logl, blob, nc, n_con, kk, it) = c
+            kk, kx = jax.random.split(kk)
+            x = l + jax.random.uniform(kx, (q_,), dtype=dtype) * (r - l)
+            u_prop, v_prop, logl_prop, blob_prop = feval(u0, x, direction)
+            nc = nc + active
+            n_con = n_con + active
+            good = logl_prop > loglstar
+            if doubling:
+                d_acc, d_nc = doubling_accept(x, u0, direction, loglstar,
+                                              big_l, big_r, big_fl, big_fr)
+                nc = nc + jnp.where(active & good, d_nc, 0)
+                good = good & d_acc
+            newly = active & good
+            u = jnp.where(newly[:, None], u_prop, u)
+            v = jnp.where(newly[:, None], v_prop, v)
+            logl = jnp.where(newly, logl_prop, logl)
+            if blob is not None:
+                blob = _tree_where(newly, blob_prop, blob)
+            bad = active & ~good
+            l = jnp.where(bad & (x < 0), x, l)
+            r = jnp.where(bad & (x > 0), x, r)
+            return (active & ~good, l, r, u, v, logl, blob, nc, n_con, kk,
+                    it + 1)
+
+        init = (jnp.ones((q_,), bool), left, right, u0, v0, logl0, blob0,
+                nc, jnp.zeros((q_,), jnp.int32), k2, jnp.int32(0))
+        (_, _, _, u, v, logl, blob, nc, n_contract, _, _) = \
+            jax.lax.while_loop(s_cond, s_body, init)
+        return u, v, logl, blob, nc, n_expand, n_contract, \
+            expansion_warning
+
+    def round_fn(key, start_u, start_v, start_logl, start_blob, axes,
+                 scale, loglstar):
+        kdir, kstep = jax.random.split(key)
+        axes_d = axes.astype(dtype)
+
+        if kind == "rslice":
+            # random isotropic directions transformed by the axes
+            drhat = jax.random.normal(kdir, (q, n_steps, ndim), dtype=dtype)
+            drhat = drhat / jnp.linalg.norm(drhat, axis=-1, keepdims=True)
+            directions = jnp.einsum("qij,qsj->qsi", axes_d, drhat) * scale
+        else:
+            # per-lane shuffled principal-axis order, repeated per pass
+            perm = jax.vmap(
+                lambda k: jnp.concatenate([
+                    jax.random.permutation(jax.random.fold_in(k, s), ndim)
+                    for s in range(slices)
+                ]))(jax.random.split(kdir, q))  # (q, slices*ndim)
+            # axis i of the ellipsoid is column i of axes: per-lane
+            # row-gather of axes.T by the shuffled axis order
+            directions = jax.vmap(lambda a, p: a.T[p])(axes_d, perm) * scale
+            # (q, n_steps, ndim)
+
+        n0 = jnp.zeros((q,), jnp.int32)
+        carry0 = (start_u.astype(dtype), start_v.astype(dtype),
+                  start_logl.astype(dtype), start_blob, n0, n0, n0,
+                  jnp.zeros((), bool))
+        step_keys = jax.random.split(kstep, n_steps)
+
+        def step_accum(carry, inp):
+            u, v, logl, blob, nc_tot, n_exp, n_con, warn = carry
+            skey, dirs = inp
+            (u, v, logl, blob, nc1, ne1, ncon1, w1) = one_slice_step(
+                skey, u, v, logl, blob, dirs, loglstar)
+            return (u, v, logl, blob, nc_tot + nc1, n_exp + ne1,
+                    n_con + ncon1, warn | w1), None
+
+        dirs_by_step = jnp.moveaxis(directions, 1, 0)  # (n_steps, q, ndim)
+        (u, v, logl, blob, nc, n_expand, n_contract, warn), _ = \
+            jax.lax.scan(step_accum, carry0, (step_keys, dirs_by_step))
+        return {
+            "u": u, "v": v, "logl": logl, "blob": blob, "nc": nc,
+            "n_expand": n_expand, "n_contract": n_contract,
+            "expansion_warning": warn,
+        }
+
+    return jax.jit(round_fn)

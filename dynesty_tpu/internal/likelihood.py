@@ -1,0 +1,236 @@
+"""Batched evaluation of the user's prior transform and log-likelihood.
+
+The reference wraps per-point Python callables and farms them over a
+process pool (``utils.py:120-277``, ``pool.py``); here the batch IS the
+parallelism axis: points are evaluated in wide device batches inside jitted
+proposal rounds, optionally sharded over a device mesh.
+
+Three evaluation modes:
+
+* ``mode='jax'`` (default): the user functions are JAX-traceable and take a
+  single point; we ``vmap`` them over the batch.
+* ``mode='vectorized'``: the user functions are JAX-traceable and already
+  accept ``(N, ndim)`` batches.
+* ``mode='host'``: arbitrary Python callables (dynesty's "any callable"
+  contract).  Batches are shipped to the host via ``io_callback`` and
+  mapped point-by-point (optionally over a multiprocessing pool via
+  ``dynesty_tpu.pool.Pool``).  Slower, but fully general.
+
+Blobs: with ``blob=True`` the log-likelihood returns ``(logl, blob)`` where
+``blob`` is any fixed-shape array pytree; kernels thread blobs alongside
+``logl``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import io_callback as _io_callback
+
+__all__ = ["LogLikelihood", "LoglOutput"]
+
+
+class LoglOutput:
+    """Float-comparable carrier of (logl value, blob) returned by host-mode
+    per-point evaluation (API parity with the reference ``LoglOutput``)."""
+
+    def __init__(self, v, blob_flag):
+        if blob_flag:
+            self.val = float(v[0])
+            self.blob = v[1]
+        else:
+            self.val = float(v)
+            self.blob = None
+
+    def __lt__(self, other):
+        return self.val < float(other)
+
+    def __gt__(self, other):
+        return self.val > float(other)
+
+    def __le__(self, other):
+        return self.val <= float(other)
+
+    def __ge__(self, other):
+        return self.val >= float(other)
+
+    def __float__(self):
+        return self.val
+
+
+class LogLikelihood:
+    """Wraps user ``loglikelihood``/``prior_transform`` into batched device
+    evaluation, with exception surfacing and blob support."""
+
+    def __init__(self, loglikelihood, prior_transform, ndim,
+                 mode="jax", blob=False, pool=None,
+                 logl_args=None, logl_kwargs=None,
+                 ptform_args=None, ptform_kwargs=None,
+                 dtype=None):
+        if mode not in ("jax", "vectorized", "host"):
+            raise ValueError(f"Unknown likelihood mode '{mode}'")
+        self.mode = mode
+        self.blob = blob
+        self.ndim = ndim
+        self.pool = pool
+        self.dtype = dtype or (jnp.float64 if jax.config.x64_enabled
+                               else jnp.float32)
+        self._base_logl = loglikelihood
+        self._base_ptform = prior_transform
+        self._logl_args = tuple(logl_args or ())
+        self._logl_kwargs = dict(logl_kwargs or {})
+        self._ptform_args = tuple(ptform_args or ())
+        self._ptform_kwargs = dict(ptform_kwargs or {})
+
+        # Filled lazily on the first (host-side) evaluation; needed to give
+        # io_callback / jit fixed result shapes.
+        self.npdim = None
+        self.blob_shape_dtype = None
+        self.ncall_launched = 0
+        self._rebuild_callables()
+
+    def _rebuild_callables(self):
+        la, lk = self._logl_args, self._logl_kwargs
+        pa, pk = self._ptform_args, self._ptform_kwargs
+        base_logl, base_ptform = self._base_logl, self._base_ptform
+        if la or lk:
+            self._logl = lambda v: base_logl(v, *la, **lk)
+        else:
+            self._logl = base_logl
+        if pa or pk:
+            self._ptform = lambda u: base_ptform(u, *pa, **pk)
+        else:
+            self._ptform = base_ptform
+        if self.mode == "host":
+            self._batch_fn = None  # built after shapes are known
+        else:
+            self._batch_fn = self._build_traced_batch_fn()
+
+    # -- traced path ------------------------------------------------------
+
+    def _build_traced_batch_fn(self):
+        ptform, logl, blob_flag = self._ptform, self._logl, self.blob
+
+        def one_point(u):
+            v = ptform(u)
+            out = logl(v)
+            if blob_flag:
+                lv, b = out
+                return v, lv, b
+            return v, out, None
+
+        if self.mode == "vectorized":
+            def batch(u):
+                v = ptform(u)
+                out = logl(v)
+                if blob_flag:
+                    lv, b = out
+                    return v, lv, b
+                return v, out, None
+            return batch
+        return jax.vmap(one_point)
+
+    # -- host path --------------------------------------------------------
+
+    def _host_eval_np(self, u):
+        """Map the user callables over a numpy batch on the host."""
+        u = np.asarray(u)
+        mapper = self.pool.map if self.pool is not None else map
+        v = np.array(list(mapper(self._ptform, u)))
+        raw = list(mapper(self._logl, v))
+        self.ncall_launched += len(u)
+        if self.blob:
+            logl = np.array([float(r[0]) for r in raw])
+            blob = np.array([r[1] for r in raw])
+        else:
+            logl = np.array([float(r) for r in raw])
+            blob = None
+        if not np.all(np.isfinite(logl) | np.isneginf(logl)):
+            bad = np.nonzero(~(np.isfinite(logl) | np.isneginf(logl)))[0][0]
+            raise ValueError(
+                f"The log-likelihood ({logl[bad]}) at u={u[bad]} "
+                f"v={v[bad]} is invalid (nan or +inf).")
+        return v, logl, blob
+
+    def _ensure_host_callback(self, batch_size):
+        npdim = self.npdim
+        dtype = self.dtype
+        shapes = [
+            jax.ShapeDtypeStruct((batch_size, npdim), dtype),
+            jax.ShapeDtypeStruct((batch_size,), dtype),
+        ]
+        if self.blob:
+            bs, bd = self.blob_shape_dtype
+            shapes.append(jax.ShapeDtypeStruct((batch_size,) + bs, bd))
+
+        def host_fn(u):
+            v, logl, blob = self._host_eval_np(u)
+            out = [np.asarray(v, dtype), np.asarray(logl, dtype)]
+            if self.blob:
+                out.append(np.asarray(blob, self.blob_shape_dtype[1]))
+            return tuple(out)
+
+        def batch(u):
+            out = jax.experimental.io_callback(host_fn, tuple(shapes), u,
+                                               ordered=False)
+            if self.blob:
+                return out[0], out[1], out[2]
+            return out[0], out[1], None
+
+        return batch
+
+    # -- public API -------------------------------------------------------
+
+    def eval_host(self, u):
+        """Evaluate a numpy batch on the host (used during live point
+        initialization, before any jit compilation).  Returns numpy
+        ``(v, logl, blob_or_None)`` and learns output shapes."""
+        u = np.asarray(u, dtype=np.float64)
+        if self.mode == "host":
+            v, logl, blob = self._host_eval_np(u)
+        else:
+            fn = self._batch_fn
+            v, logl, blob = fn(jnp.asarray(u, dtype=self.dtype))
+            v = np.asarray(v)
+            logl = np.asarray(logl, dtype=np.float64)
+            blob = np.asarray(blob) if blob is not None else None
+            bad = ~(np.isfinite(logl) | np.isneginf(logl))
+            if bad.any():
+                i = np.nonzero(bad)[0][0]
+                raise ValueError(
+                    f"The log-likelihood ({logl[i]}) at u={u[i]} "
+                    f"v={v[i]} is invalid (nan or +inf).")
+        if self.npdim is None:
+            self.npdim = v.shape[1]
+            if self.blob and blob is not None:
+                self.blob_shape_dtype = (blob.shape[1:], blob.dtype)
+        return v, np.asarray(logl, dtype=np.float64), blob
+
+    def batch_eval(self, u):
+        """Traced batched evaluation for use inside jitted kernels.
+
+        ``u`` is (N, ndim) and must already be inside the support of the
+        prior transform (kernels clamp to [0, 1] before calling).  Returns
+        ``(v (N, npdim), logl (N,), blob pytree or None)``.
+        """
+        if self.mode == "host":
+            if self.npdim is None:
+                raise RuntimeError("Host-mode likelihood must be probed "
+                                   "with eval_host before tracing.")
+            return self._ensure_host_callback(u.shape[0])(u)
+        v, logl, blob = self._batch_fn(u)
+        return (jnp.asarray(v, self.dtype),
+                jnp.asarray(logl, self.dtype), blob)
+
+    # -- pickling (drop the pool; re-attached on restore) ------------------
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["pool"] = None
+        # closures over user callables are rebuilt on unpickle
+        for k in ("_logl", "_ptform", "_batch_fn"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._rebuild_callables()

@@ -1,0 +1,399 @@
+"""Host-side proposal-kernel drivers ("internal samplers").
+
+Each class owns the tuning state (proposal ``scale``, accept/expand
+histories) and a cache of jitted round functions from
+:mod:`dynesty_tpu.internal.kernels`.  One ``propose_round`` call replaces
+the reference's ``queue_size`` pool-mapped ``sample()`` calls
+(``sampler.py:676-717``, ``internal_samplers.py``): it runs a single
+compiled device round producing ``Q`` proposals, which the nested sampler
+consumes FIFO.
+
+Tuning parity: the reference accumulates per-proposal tuning info and
+applies the scale update when its queue drains
+(``sampler.py:757-764``); a round IS a full queue here, so ``tune`` is
+called once per round with the aggregated statistics.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from .kernels import (make_rwalk_round, make_slice_round, make_unif_round,
+                      pad_ellipsoids)
+
+__all__ = [
+    "InternalSampler", "UnitCubeSampler", "UniformBoundSampler",
+    "RWalkSampler", "SliceSampler", "RSliceSampler",
+    "INTERNAL_SAMPLER_LIST", "get_internal_sampler",
+]
+
+INTERNAL_SAMPLER_LIST = ["rwalk", "unif", "rslice", "slice"]
+
+
+class InternalSampler:
+    """Base class: holds kwargs (periodic/reflective/nonbounded masks,
+    ndim/ncdim), the proposal scale, and the jitted-round cache."""
+
+    def __init__(self, **kwargs):
+        self.scale = 1.0
+        self.input_kwargs = kwargs
+        self.sampler_kwargs = {}
+        self.ndim = kwargs.get("ndim")
+        self.ncdim = kwargs.get("ncdim") or self.ndim
+        for k in ("nonbounded", "periodic", "reflective", "nonperiodic"):
+            self.sampler_kwargs[k] = kwargs.get(k)
+        self._round_cache = {}
+
+    @property
+    def update_bound_interval_ratio(self):
+        """Bound-update cadence in units of ncall per live point."""
+        return 1
+
+    def _new_from_template(self, template_kwargs):
+        """Clone with extra defaults (used when the factory passes
+        boundary masks to a user-constructed instance)."""
+        merged = dict(self.input_kwargs)
+        for k, v in template_kwargs.items():
+            if k not in merged:
+                merged[k] = v
+        return self.__class__(**merged)
+
+    def _cached_round(self, key, builder):
+        fn = self._round_cache.get(key)
+        if fn is None:
+            fn = builder()
+            self._round_cache[key] = fn
+        return fn
+
+    def _gather_starts(self, nested_sampler, loglstar, q):
+        """Pick Q start points (live points above loglstar) and per-lane
+        random axes from the current bound."""
+        live_logl = nested_sampler.live_logl
+        valid = np.nonzero(live_logl > loglstar)[0]
+        if len(valid) == 0:
+            raise RuntimeError(
+                "No live points are above loglstar. Do you have a "
+                "likelihood plateau, or are you sampling excessively "
+                "around the peak of the posterior?")
+        rstate = nested_sampler.rstate
+        idxs = valid[rstate.integers(0, len(valid), size=q)]
+        # A start point outside the bound forces a refit (reference
+        # sampler.py:483-491).
+        nested_sampler.ensure_startpoints_bounded(idxs)
+        starts_u = np.array(nested_sampler.live_u[idxs])
+        starts_v = np.array(nested_sampler.live_v[idxs])
+        starts_logl = np.array(live_logl[idxs])
+        if nested_sampler.blob:
+            starts_blob = np.array(
+                [nested_sampler.live_blobs[i] for i in idxs])
+        else:
+            starts_blob = None
+        axes = np.array([
+            nested_sampler.bound.get_random_axes(rstate)
+            for _ in range(q)
+        ])
+        return starts_u, starts_v, starts_logl, starts_blob, axes
+
+    def propose_round(self, nested_sampler, loglstar, q, key):
+        """Run one device round; return (list of per-proposal dicts,
+        aggregated tuning_info or None)."""
+        raise NotImplementedError
+
+    def tune(self, tuning_info, update=False):
+        """Accumulate round statistics; apply the scale update if
+        ``update``."""
+
+    @property
+    def citations(self):
+        return []
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_round_cache"] = {}
+        return state
+
+
+def _rows_from_round(out, q, stats_fn):
+    """Convert stacked round outputs to a FIFO list of proposal dicts."""
+    u = np.asarray(out["u"], dtype=np.float64)
+    v = np.asarray(out["v"], dtype=np.float64)
+    logl = np.asarray(out["logl"], dtype=np.float64)
+    blob = out.get("blob")
+    blob = np.asarray(blob) if blob is not None else None
+    nc = np.asarray(out["nc"]) if np.ndim(out["nc"]) else None
+    rows = []
+    for i in range(q):
+        rows.append({
+            "u": u[i],
+            "v": v[i],
+            "logl": logl[i],
+            "nc": int(nc[i]) if nc is not None else None,
+            "blob": blob[i] if blob is not None else None,
+            "proposal_stats": stats_fn(i),
+        })
+    return rows
+
+
+class UnitCubeSampler(InternalSampler):
+    """Rejection sampling from the whole unit cube (active before the
+    first bound update)."""
+
+    name = "unitcube"
+
+    def propose_round(self, nested_sampler, loglstar, q, key):
+        like = nested_sampler.loglikelihood
+        fn = self._cached_round(
+            ("cube", q),
+            lambda: make_unif_round(like, ndim=self.ndim, ncdim=self.ndim,
+                                    q=q, bound_kind="cube",
+                                    dtype=nested_sampler.dtype))
+        out = fn(key, loglstar, {})
+        out = {k: np.asarray(v) if v is not None else None
+               for k, v in out.items()}
+        n_filled = int(out["n_filled"])
+        if n_filled < q:
+            raise RuntimeError("Unit-cube sampling failed to find points "
+                               f"above loglstar ({n_filled}/{q}).")
+        total_nc = int(out["nc"])
+        # spread the total count over the slots (sum is exact)
+        base, extra = divmod(total_nc, q)
+        out["nc"] = np.full(q, base, dtype=np.int64)
+        out["nc"][:extra] += 1
+        rows = _rows_from_round(
+            out, q, lambda i: {"n_proposals": int(out["nc"][i])})
+        return rows, None
+
+
+class UniformBoundSampler(InternalSampler):
+    """Uniform sampling within the current bounding distribution
+    ('unif')."""
+
+    name = "unif"
+
+    def propose_round(self, nested_sampler, loglstar, q, key):
+        like = nested_sampler.loglikelihood
+        bound = nested_sampler.bound
+        spec = bound.device_spec()
+        if spec is None:
+            raise RuntimeError(
+                f"Bound {type(bound).__name__} has no device sampling "
+                "spec; use rwalk/rslice/slice with custom bounds.")
+        kind, arrays = spec
+        if kind == "ellipsoids":
+            arrays = pad_ellipsoids(arrays["ctrs"], arrays["axes"],
+                                    arrays["ams"], arrays["logvols"])
+        elif kind in ("balls", "cubes"):
+            arrays = dict(arrays)
+            arrays["ctrs"] = np.asarray(bound.ctrs)
+        fn = self._cached_round(
+            (kind, q),
+            lambda: make_unif_round(
+                like, ndim=self.ndim, ncdim=self.ncdim, q=q,
+                bound_kind=kind,
+                nonbounded=self.sampler_kwargs.get("nonbounded"),
+                dtype=nested_sampler.dtype))
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        out = fn(key, loglstar, arrays)
+        out = {k: np.asarray(v) if v is not None else None
+               for k, v in out.items()}
+        n_filled = int(out["n_filled"])
+        if n_filled < q:
+            raise RuntimeError(
+                "Uniform bound sampling is extremely inefficient: only "
+                f"{n_filled}/{q} proposals found above loglstar.")
+        total_nc = int(out["nc"])
+        base, extra = divmod(total_nc, q)
+        out["nc"] = np.full(q, base, dtype=np.int64)
+        out["nc"][:extra] += 1
+        n_prop = int(out["n_proposals"])
+        rows = _rows_from_round(
+            out, q, lambda i: {"n_proposals": n_prop // q})
+        return rows, None
+
+
+class RWalkSampler(InternalSampler):
+    """Random walks within the scaled bounding ellipsoid ('rwalk')."""
+
+    name = "rwalk"
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        walks = max(2, kwargs.get("walks") or 25)
+        facc = kwargs.get("facc") or 0.5
+        self.walks = walks
+        self.facc = min(1.0, max(1.0 / walks, facc))
+        self.rwalk_history = {"n_accept": 0, "n_reject": 0}
+
+    @property
+    def update_bound_interval_ratio(self):
+        return self.walks
+
+    def propose_round(self, nested_sampler, loglstar, q, key):
+        like = nested_sampler.loglikelihood
+        su, sv, sl, sb, axes = self._gather_starts(nested_sampler, loglstar,
+                                                   q)
+        fn = self._cached_round(
+            ("rwalk", q, self.walks),
+            lambda: make_rwalk_round(
+                like, ndim=self.ndim, ncdim=self.ncdim, q=q,
+                walks=self.walks,
+                nonbounded=self.sampler_kwargs.get("nonbounded"),
+                periodic=self.sampler_kwargs.get("periodic"),
+                reflective=self.sampler_kwargs.get("reflective"),
+                dtype=nested_sampler.dtype))
+        out = fn(key, su, sv, sl, sb, axes, self.scale, loglstar)
+        out = {k: np.asarray(v) if v is not None else None
+               for k, v in out.items()}
+        n_acc = out["n_accept"].astype(int)
+        n_rej = out["n_reject"].astype(int)
+        rows = _rows_from_round(
+            out, q,
+            lambda i: {"n_accept": int(n_acc[i]), "n_reject": int(n_rej[i])})
+        tuning_info = {
+            "accept": int(n_acc.sum()),
+            "reject": int(n_rej.sum()),
+            "scale": self.scale,
+        }
+        return rows, tuning_info
+
+    def tune(self, tuning_info, update=True):
+        """Newton-like scale update toward the target acceptance rate
+        (reference ``internal_samplers.py:460-493``)."""
+        self.scale = tuning_info["scale"]
+        hist = self.rwalk_history
+        hist["n_accept"] += tuning_info["accept"]
+        hist["n_reject"] += tuning_info["reject"]
+        if not update:
+            return
+        accept, reject = hist["n_accept"], hist["n_reject"]
+        facc = accept / max(accept + reject, 1)
+        self.scale *= math.exp((facc - self.facc) / self.ncdim / self.facc)
+        hist["n_accept"] = 0
+        hist["n_reject"] = 0
+
+    @property
+    def citations(self):
+        return [("Skilling (2006)", "projecteuclid.org/euclid.ba/1340370944")]
+
+
+class _SliceBase(InternalSampler):
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.slices = kwargs.get("slices") or 5
+        self.slice_history = {"n_expand": 0, "n_contract": 0}
+        self.sampler_kwargs.setdefault("slice_doubling",
+                                       kwargs.get("slice_doubling", False))
+
+    def tune(self, tuning_info, update=True):
+        """Multiplicative scale update from the expansion/contraction
+        balance (reference ``internal_samplers.py:1209-1239``)."""
+        hist = self.slice_history
+        hist["n_expand"] += tuning_info["n_expand"]
+        hist["n_contract"] += tuning_info["n_contract"]
+        if tuning_info.get("expansion_warning_set"):
+            self.sampler_kwargs["slice_doubling"] = True
+        if not update:
+            return
+        n_expand = max(hist["n_expand"], 1)
+        n_contract = hist["n_contract"]
+        mult = n_expand * 2.0 / (n_expand + n_contract)
+        mult = min(max(mult, 0.5), 2.0)
+        self.scale = self.scale * mult
+        hist["n_expand"] = 0
+        hist["n_contract"] = 0
+
+    def _run(self, nested_sampler, loglstar, q, key, kind):
+        like = nested_sampler.loglikelihood
+        su, sv, sl, sb, axes = self._gather_starts(nested_sampler, loglstar,
+                                                   q)
+        doubling = bool(self.sampler_kwargs.get("slice_doubling", False))
+        fn = self._cached_round(
+            (kind, q, self.slices, doubling),
+            lambda: make_slice_round(
+                like, ndim=self.ndim, q=q, slices=self.slices, kind=kind,
+                nonperiodic=self.sampler_kwargs.get("nonperiodic"),
+                doubling=doubling, dtype=nested_sampler.dtype))
+        out = fn(key, su, sv, sl, sb, axes, self.scale, loglstar)
+        out = {k: np.asarray(v) if v is not None else None
+               for k, v in out.items()}
+        n_exp = out["n_expand"].astype(int)
+        n_con = out["n_contract"].astype(int)
+        rows = _rows_from_round(
+            out, q,
+            lambda i: {"n_expand": int(n_exp[i]),
+                       "n_contract": int(n_con[i])})
+        tuning_info = {
+            "n_expand": int(n_exp.sum()),
+            "n_contract": int(n_con.sum()),
+            "expansion_warning_set": bool(out["expansion_warning"]),
+        }
+        if tuning_info["expansion_warning_set"]:
+            import warnings
+            warnings.warn("Slice interval expanded > 1000 times; enabling "
+                          "Neal (2003) doubling strategy.")
+        return rows, tuning_info
+
+    @property
+    def citations(self):
+        return [("Neal (2003)", "projecteuclid.org/euclid.aos/1056562461"),
+                ("Handley, Hobson & Lasenby (2015)",
+                 "ui.adsabs.harvard.edu/abs/2015MNRAS.453.4384H")]
+
+
+class SliceSampler(_SliceBase):
+    """Gibbs-style multivariate slice sampling along shuffled principal
+    axes ('slice')."""
+
+    name = "slice"
+
+    @property
+    def update_bound_interval_ratio(self):
+        return self.slices * self.ndim
+
+    def propose_round(self, nested_sampler, loglstar, q, key):
+        return self._run(nested_sampler, loglstar, q, key, "slice")
+
+
+class RSliceSampler(_SliceBase):
+    """Slice sampling along random axes-transformed directions
+    ('rslice')."""
+
+    name = "rslice"
+
+    @property
+    def update_bound_interval_ratio(self):
+        return self.slices
+
+    def propose_round(self, nested_sampler, loglstar, q, key):
+        return self._run(nested_sampler, loglstar, q, key, "rslice")
+
+
+def get_internal_sampler(sample, ndim, **kwargs):
+    """Resolve a sampler spec ('auto'/name/instance) to an instance,
+    mirroring the reference auto rules (``dynesty.py:126-166``): unif for
+    ndim < 10, rwalk for 10 <= ndim <= 20, rslice above."""
+    if isinstance(sample, InternalSampler):
+        return sample._new_from_template(dict(kwargs, ndim=ndim))
+    if sample == "auto":
+        if ndim < 10:
+            sample = "unif"
+        elif ndim <= 20:
+            sample = "rwalk"
+        else:
+            sample = "rslice"
+    kwargs = dict(kwargs, ndim=ndim)
+    if sample == "unif":
+        return UniformBoundSampler(**kwargs)
+    if sample == "rwalk":
+        kwargs.setdefault("walks", ndim + 20)
+        return RWalkSampler(**kwargs)
+    if sample == "slice":
+        kwargs.setdefault("slices", 3)
+        return SliceSampler(**kwargs)
+    if sample == "rslice":
+        kwargs.setdefault("slices", 3 + ndim)
+        return RSliceSampler(**kwargs)
+    raise ValueError(f"Unknown sample option '{sample}' "
+                     f"(choose from {INTERNAL_SAMPLER_LIST} or pass an "
+                     "InternalSampler instance)")

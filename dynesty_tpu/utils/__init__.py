@@ -1,0 +1,51 @@
+"""Host-side utilities: results containers, run algebra, error analysis,
+RNG discipline, checkpointing, progress reporting."""
+
+from .results import Results, RunRecord, results_substitute
+from .misc import (
+    get_random_generator,
+    get_seed_sequence,
+    get_jax_key,
+    mean_and_cov,
+    quantile,
+    resample_equal,
+    DelayTimer,
+    IteratorResult,
+    print_fn,
+    get_print_func,
+)
+from .runs import (
+    jitter_run,
+    resample_run,
+    reweight_run,
+    unravel_run,
+    merge_runs,
+    kld_error,
+    check_result_static,
+)
+from .checkpoint import save_sampler, restore_sampler
+
+__all__ = [
+    "Results",
+    "RunRecord",
+    "results_substitute",
+    "get_random_generator",
+    "get_seed_sequence",
+    "get_jax_key",
+    "mean_and_cov",
+    "quantile",
+    "resample_equal",
+    "DelayTimer",
+    "IteratorResult",
+    "print_fn",
+    "get_print_func",
+    "jitter_run",
+    "resample_run",
+    "reweight_run",
+    "unravel_run",
+    "merge_runs",
+    "kld_error",
+    "check_result_static",
+    "save_sampler",
+    "restore_sampler",
+]

@@ -1,0 +1,17 @@
+"""Test configuration: CPU platform (virtual 8-device mesh for sharding
+tests) and float64 enabled, set before JAX initializes."""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The sandbox pins JAX_PLATFORMS=axon (TPU tunnel); tests run on CPU unless
+# explicitly requested.
+if os.environ.get("DYNESTY_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
