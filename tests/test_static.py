@@ -1,0 +1,219 @@
+"""End-to-end statistical tests of the static sampler against analytic
+truths (pattern of the reference ``tests/test_gau.py`` / ``test_egg.py``:
+|logz - truth| < k * logzerr)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dynesty_tpu as dytpu
+
+from utils import get_rstate
+
+NDIM = 3
+CORR = 0.95
+PRIOR_WIN = 10.0
+LOGZ_TRUTH = NDIM * (-np.log(2 * PRIOR_WIN))
+
+
+def _make_gau(ndim=NDIM, corr=CORR):
+    cov = np.identity(ndim)
+    cov[cov == 0] = corr
+    cinv = np.linalg.inv(cov)
+    lnorm = -0.5 * (np.log(2 * np.pi) * ndim +
+                    np.log(np.linalg.det(cov)))
+
+    def loglike(x):
+        return -0.5 * jnp.dot(x, jnp.asarray(cinv) @ x) + lnorm
+
+    def ptform(u):
+        return PRIOR_WIN * (2.0 * u - 1.0)
+
+    return loglike, ptform
+
+
+def _check_result_gau(results, sig=4):
+    logz = results.logz[-1]
+    logzerr = results.logzerr[-1]
+    assert abs(logz - LOGZ_TRUTH) < sig * logzerr, (logz, logzerr)
+
+
+FAST_COMBOS = [
+    ("single", "unif"),
+    ("multi", "unif"),
+    ("none", "rwalk"),
+    ("single", "rslice"),
+    ("multi", "slice"),
+]
+
+ALL_COMBOS = [(b, s)
+              for b in ("none", "single", "multi", "balls", "cubes")
+              for s in ("unif", "rwalk", "rslice", "slice")
+              if not (b == "none" and s == "unif")]
+
+
+@pytest.mark.parametrize("bound,sample", FAST_COMBOS)
+def test_gaussian(bound, sample):
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=250,
+                                  bound=bound, sample=sample,
+                                  rstate=rstate, queue_size=64)
+    sampler.run_nested(print_progress=False)
+    _check_result_gau(sampler.results)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bound,sample", ALL_COMBOS)
+def test_gaussian_grid(bound, sample):
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=250,
+                                  bound=bound, sample=sample,
+                                  rstate=rstate, queue_size=64)
+    sampler.run_nested(print_progress=False)
+    _check_result_gau(sampler.results)
+
+
+def test_bootstrap():
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=250,
+                                  bound="single", sample="unif",
+                                  bootstrap=5, rstate=rstate,
+                                  queue_size=64)
+    sampler.run_nested(print_progress=False)
+    _check_result_gau(sampler.results)
+
+
+def test_enlarge():
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=250,
+                                  bound="multi", sample="unif",
+                                  enlarge=1.5, rstate=rstate,
+                                  queue_size=64)
+    sampler.run_nested(print_progress=False)
+    _check_result_gau(sampler.results)
+
+
+def test_eggbox():
+    # multimodal 2-D eggbox; analytic logz = 235.856
+    tmax = 5.0 * np.pi
+
+    def loglike(x):
+        t = 2.0 * tmax * x - tmax
+        return (2.0 + jnp.cos(t[0] / 2.0) * jnp.cos(t[1] / 2.0)) ** 5.0
+
+    def ptform(u):
+        return u
+
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, 2, nlive=300,
+                                  bound="multi", sample="unif",
+                                  rstate=rstate, queue_size=128)
+    sampler.run_nested(print_progress=False, dlogz=0.01)
+    res = sampler.results
+    assert abs(res.logz[-1] - 235.856) < 5 * res.logzerr[-1]
+    # the bound must actually have split into multiple pieces
+    assert sampler.bound.nells > 1
+
+
+def test_generator_api():
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=150,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=64)
+    for it, res in enumerate(sampler.sample(dlogz=0.5)):
+        pass
+    for it2, res in enumerate(sampler.add_live_points()):
+        pass
+    assert it2 == 149
+    _check_result_gau(sampler.results, sig=5)
+
+
+def test_maxiter_maxcall():
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(maxiter=200, print_progress=False)
+    assert sampler.results.niter <= 201
+
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(maxcall=1000, print_progress=False)
+    assert np.sum(sampler.results.ncall) < 5000
+
+
+def test_determinism():
+    loglike, ptform = _make_gau()
+    runs = []
+    for _ in range(2):
+        rstate = get_rstate()
+        sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=120,
+                                      bound="single", sample="unif",
+                                      rstate=rstate, queue_size=32)
+        sampler.run_nested(print_progress=False, maxiter=400)
+        runs.append(sampler.results)
+    r1, r2 = runs
+    for k in ("logz", "logl", "logwt", "logvol", "samples"):
+        assert np.allclose(np.asarray(r1[k]), np.asarray(r2[k])), k
+    assert np.array_equal(r1["ncall"], r2["ncall"])
+
+
+def test_ncall_consistency():
+    # the sum of per-iteration nc plus init must equal the sampler's ncall
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(print_progress=False, add_live=False)
+    res = sampler.results
+    # ncall excludes the nlive init calls and any queued-but-unused
+    # proposals; the recorded per-iteration counts must sum consistently
+    assert np.sum(res.ncall) <= sampler.ncall
+    assert sampler.ncall >= sampler.nlive
+
+
+def test_user_live_points():
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    nlive = 120
+    live_u = rstate.random((nlive, NDIM))
+    live_v = np.array([np.asarray(ptform(u)) for u in live_u])
+    live_logl = np.array([float(loglike(jnp.asarray(v))) for v in live_v])
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=nlive,
+                                  bound="single", sample="unif",
+                                  live_points=[live_u, live_v, live_logl],
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(print_progress=False)
+    _check_result_gau(sampler.results, sig=5)
+
+
+def test_results_api():
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=150,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=64)
+    sampler.run_nested(print_progress=False)
+    res = sampler.results
+    assert not res.isdynamic()
+    w = res.importance_weights()
+    assert abs(w.sum() - 1) < 1e-10
+    eq = res.samples_equal(rstate=rstate)
+    assert eq.shape[1] == NDIM
+    mean = eq.mean(axis=0)
+    assert np.all(np.abs(mean) < 1.0)
+    res.summary()
+    # immutability
+    with pytest.raises(RuntimeError):
+        res.logz = None
+    res2 = res.copy()
+    assert np.allclose(res2.logz, res.logz)
