@@ -1,0 +1,988 @@
+"""Dynamic nested sampling: adaptive live-point allocation driven by
+posterior/evidence weight functions, with ESS-based stopping.
+
+Host-level orchestration over the static :class:`~dynesty_tpu.sampler.
+Sampler` (whose proposal rounds run jitted on device).  Control flow
+mirrors the reference ``dynamicsampler.py``: a baseline run, then batches
+bracketed by log-likelihood bounds chosen by ``weight_function``, merged
+into the combined run by a two-pointer walk with plateau-aware volume
+assignment, until ``stopping_function`` fires.
+"""
+
+import copy
+import math
+import sys
+import warnings
+from collections import namedtuple
+from enum import Enum
+
+import numpy as np
+
+from .ops.integrals import compute_integrals, get_neff_from_logwt
+from .sampler import Sampler, initialize_live_points
+from .utils.checkpoint import restore_sampler, save_sampler
+from .utils.misc import (DelayTimer, IteratorResult, get_print_func,
+                         get_seed_sequence)
+from .utils.results import Results, RunRecord
+from .utils.runs import _kld_error
+
+__all__ = [
+    "DynamicSampler", "weight_function", "stopping_function",
+    "compute_weights",
+]
+
+IteratorResultShort = namedtuple("IteratorResultShort", [
+    "worst", "ustar", "vstar", "loglstar", "nc", "worst_it", "boundidx",
+    "bounditer", "eff", "delta_logz", "proposal_stats"
+])
+
+
+class DynamicSamplerStatesEnum(Enum):
+    INIT = 1
+    LIVEPOINTSINIT = 2
+    INBASE = 3
+    BASE_DONE = 4
+    INBATCH = 5
+    BATCH_DONE = 6
+    INBASEADDLIVE = 7
+    INBATCHADDLIVE = 8
+    RUN_DONE = 9
+
+
+def compute_weights(results):
+    """Evidence (remaining-mass) and posterior (importance) weights of
+    each sample (reference ``dynamicsampler.py:48-81``)."""
+    logl = np.asarray(results["logl"])
+    logz = np.asarray(results["logz"])
+    logvol = np.asarray(results["logvol"])
+    logwt = np.asarray(results["logwt"])
+    samples_n = np.asarray(results["samples_n"])
+
+    if np.ptp(logz) == 0:
+        warnings.warn("All samples share the same logz; the weight "
+                      "calculation degenerates (check your likelihood).")
+        zweight = np.ones(len(logl)) / len(logl)
+    else:
+        logz_remain = logl[-1] + logvol[-1]
+        logz_tot = np.logaddexp(logz[-1], logz_remain)
+        # ln(remaining evidence) = ln(exp(logz_tot) - exp(logz))
+        diff = np.clip(logz - logz_tot, None, 0.0)
+        with np.errstate(divide="ignore"):
+            logzin = logz_tot + np.log1p(-np.exp(diff))
+        logzweight = logzin - np.log(samples_n)
+        m = logzweight.max()
+        logzweight -= m + np.log(np.exp(logzweight - m).sum())
+        zweight = np.exp(logzweight)
+
+    pweight = np.exp(logwt - logz[-1])
+    pweight /= pweight.sum()
+    return zweight, pweight
+
+
+def weight_function(results, args=None, return_weights=False):
+    """Default batch-targeting function: combined weight
+    ``pfrac * pweight + (1-pfrac) * zweight``; returns the logl interval
+    where the weight exceeds ``maxfrac`` of its max, padded by ``pad``
+    samples on each side (reference ``dynamicsampler.py:84-170``)."""
+    args = args or {}
+    pfrac = args.get("pfrac", 0.8)
+    if not 0.0 <= pfrac <= 1.0:
+        raise ValueError(f"pfrac {pfrac} not in [0, 1]")
+    maxfrac = args.get("maxfrac", 0.8)
+    if not 0.0 <= maxfrac <= 1.0:
+        raise ValueError(f"maxfrac {maxfrac} not in [0, 1]")
+    lpad = args.get("pad", 1)
+    if lpad < 0:
+        raise ValueError(f"pad {lpad} negative")
+
+    zweight, pweight = compute_weights(results)
+    weight = (1.0 - pfrac) * zweight + pfrac * pweight
+
+    nsamps = len(weight)
+    sel = np.nonzero(weight > maxfrac * weight.max())[0]
+    bounds = [sel[0] - lpad, sel[-1] + lpad]
+    logl = np.asarray(results["logl"])
+    if bounds[1] > nsamps - 1:
+        bounds = [bounds[0] - (bounds[1] - (nsamps - 1)), nsamps - 1]
+    if bounds[0] <= 0:
+        logl_min = -np.inf
+        logl_max = logl[min(bounds[1] - bounds[0], nsamps - 1)]
+    else:
+        logl_min, logl_max = logl[bounds[0]], logl[bounds[1]]
+    if bounds[1] == nsamps - 1:
+        logl_max = np.inf
+    if return_weights:
+        return (logl_min, logl_max), (pweight, zweight, weight)
+    return (logl_min, logl_max)
+
+
+def stopping_function(results, args=None, rstate=None, mapper=None,
+                      return_vals=False):
+    """Default stop rule: ``stop = pfrac * target_neff/neff +
+    (1-pfrac) * logzerr/evid_thresh <= 1`` with optional Monte Carlo
+    realizations of logz error (reference ``dynamicsampler.py:173-297``)."""
+    args = args or {}
+    if mapper is None:
+        mapper = map
+    pfrac = args.get("pfrac", 1.0)
+    if not 0.0 <= pfrac <= 1.0:
+        raise ValueError(f"pfrac {pfrac} not in [0, 1]")
+    evid_thresh = args.get("evid_thresh", 0.1)
+    if pfrac < 1.0 and evid_thresh < 0.0:
+        raise ValueError("evid_thresh must be non-negative")
+    target_n_effective = args.get("target_n_effective", 10000)
+    if pfrac > 0.0 and target_n_effective < 0:
+        raise ValueError("target_n_effective must be non-negative")
+    n_mc = args.get("n_mc", 0)
+    if n_mc < 0:
+        raise ValueError("n_mc must be >= 0")
+    if 0 < n_mc < 20:
+        warnings.warn("Few MC realizations; stopping value estimates will "
+                      "be noisy.")
+    error = args.get("error", "jitter")
+    if error not in ("jitter", "resample"):
+        raise ValueError(f"Invalid error option {error}")
+    approx = args.get("approx", True)
+
+    if n_mc > 1:
+        seeds = get_seed_sequence(rstate, n_mc)
+        mc_args = [(results, error, approx, s) for s in seeds]
+        outputs = list(mapper(_kld_error, mc_args))
+        lnz_arr = np.array([out[1]["logz"][-1] for out in outputs])
+        lnz_std = np.std(lnz_arr)
+    else:
+        lnz_std = results["logzerr"][-1]
+    stop_evid = lnz_std / evid_thresh
+    n_effective = get_neff_from_logwt(results["logwt"])
+    stop_post = target_n_effective / n_effective
+    stop = pfrac * stop_post + (1.0 - pfrac) * stop_evid
+    if return_vals:
+        return stop <= 1.0, (stop_post, stop_evid, stop)
+    return stop <= 1.0
+
+
+def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
+                             logl_bounds=None, save_bounds=None):
+    """Build the inner Sampler for one batch: pick the logl bracket,
+    seed its live points (fresh from the prior if the bracket reaches
+    -inf, else volume-weighted resampling of saved dead points plus
+    constrained sampling), and truncate its saved run to the join point
+    (reference ``dynamicsampler.py:300-622``)."""
+    ncall = 0
+    niter = 0
+    saved_u = np.array(main_sampler.saved_run["u"])
+    saved_v = np.array(main_sampler.saved_run["v"])
+    saved_logl = np.array(main_sampler.saved_run["logl"])
+    saved_logvol = np.array(main_sampler.saved_run["logvol"])
+    saved_scale = np.array(main_sampler.saved_run["scale"])
+    saved_blobs = np.array(main_sampler.saved_run["blob"])
+    first_points = []
+
+    batch_sampler = Sampler(
+        main_sampler.loglikelihood,
+        main_sampler.ndim,
+        main_sampler.live_init,  # replaced below
+        main_sampler.sampling,
+        main_sampler.bounding,
+        bound_update_interval=update_interval,
+        first_bound_update=main_sampler.first_bound_update,
+        rstate=main_sampler.rstate,
+        queue_size=main_sampler.queue_size,
+        ncdim=main_sampler.ncdim,
+        blob=main_sampler.blob,
+        bound_bootstrap=main_sampler.bound_bootstrap,
+        bound_enlarge=main_sampler.bound_enlarge)
+    batch_sampler.save_bounds = save_bounds
+    batch_sampler.logl_first_update = main_sampler.sampler.logl_first_update
+
+    if logl_bounds is None:
+        # default bracket: everything above the volume where nlive_new
+        # live points would remain
+        pos = np.nonzero(saved_logvol < (saved_logvol[-1] +
+                                         np.log(nlive_new)))[0]
+        pos = pos[-1] if len(pos) > 0 else len(saved_logl) - 1
+        logl_min, logl_max = -np.inf, saved_logl[pos]
+    else:
+        logl_min, logl_max = logl_bounds
+
+    psel = np.all(saved_logl > logl_min)
+    if psel:
+        # bracket reaches below all samples: fresh points from the prior
+        (live_u, live_v, live_logl, live_blobs), logvol0, init_ncalls = \
+            initialize_live_points(None, main_sampler.loglikelihood,
+                                   nlive_new, main_sampler.ndim,
+                                   main_sampler.rstate,
+                                   blob=main_sampler.blob)
+        live_bound = np.zeros(nlive_new, dtype=int)
+        live_it = np.zeros(nlive_new, dtype=int)
+        ncall += init_ncalls
+        for i in range(nlive_new):
+            first_points.append(
+                IteratorResultShort(worst=-i - 1, ustar=live_u[i],
+                                    vstar=live_v[i], loglstar=live_logl[i],
+                                    nc=1,
+                                    worst_it=live_it[i] + main_sampler.it,
+                                    boundidx=0, bounditer=0,
+                                    eff=main_sampler.eff,
+                                    delta_logz=np.nan,
+                                    proposal_stats=None))
+        batch_sampler.update_bound_if_needed(logl_min)
+    else:
+        # seed from saved dead points above the bracket, volume-weighted
+        subset0 = np.nonzero(saved_logl > logl_min)[0]
+        if len(subset0) == 0:
+            raise RuntimeError(
+                "No samples above the requested logl_min; "
+                f"logl_min={logl_min} max={saved_logl.max()}")
+        if len(subset0) < nlive_new:
+            if len(saved_logl) < nlive_new:
+                subset0 = np.arange(len(saved_logl))
+            else:
+                subset0 = np.arange(subset0[-1] - nlive_new + 1,
+                                    subset0[-1] + 1)
+            # lower the bracket so all seeds satisfy it strictly
+            logl_min = saved_logl[subset0[0] - 1] if subset0[0] > 0 \
+                else -np.inf
+
+        live_scale = saved_scale[subset0[0]]
+        wt = np.exp(saved_logvol[subset0] - saved_logvol[subset0].max())
+        wt = wt / wt.sum()
+        n_pos = int((wt > 0).sum())
+        subset = main_sampler.rstate.choice(subset0,
+                                            size=min(nlive_new, n_pos),
+                                            p=wt, replace=False)
+        cur_nlive = len(subset)
+        if cur_nlive == 1:
+            raise RuntimeError("Only one live point selected for the "
+                               "batch seed; please report.")
+        batch_sampler.nlive = cur_nlive
+        batch_sampler.live_u = saved_u[subset].copy()
+        batch_sampler.live_v = saved_v[subset].copy()
+        batch_sampler.live_logl = saved_logl[subset].copy()
+        batch_sampler.live_blobs = (list(saved_blobs[subset])
+                                    if main_sampler.blob else None)
+        batch_sampler.update_bound_if_needed(logl_min)
+        batch_sampler.internal_sampler.scale = live_scale
+
+        live_u = np.empty((nlive_new, main_sampler.ndim))
+        live_v = np.empty((nlive_new, saved_v.shape[1]))
+        live_logl = np.empty(nlive_new)
+        live_bound = np.zeros(nlive_new, dtype=int)
+        live_it = np.zeros(nlive_new, dtype=int)
+        live_blobs = [] if main_sampler.blob else None
+
+        # constrained sampling of the batch's starting live points
+        for i in range(nlive_new):
+            (live_u[i], live_v[i], live_logl[i], nc_i, blob_i,
+             pstats_i) = batch_sampler._new_point(logl_min)
+            if main_sampler.blob:
+                live_blobs.append(blob_i)
+            ncall += nc_i
+            first_points.append(
+                IteratorResultShort(worst=-i - 1, ustar=live_u[i],
+                                    vstar=live_v[i], loglstar=live_logl[i],
+                                    nc=nc_i,
+                                    worst_it=live_it[i] + main_sampler.it,
+                                    boundidx=live_bound[i],
+                                    bounditer=live_bound[i],
+                                    eff=main_sampler.eff,
+                                    delta_logz=np.nan,
+                                    proposal_stats=pstats_i))
+    niter += nlive_new
+    batch_sampler.nlive = nlive_new
+    batch_sampler.live_u = live_u
+    batch_sampler.live_v = live_v
+    batch_sampler.live_logl = live_logl
+    batch_sampler.live_bound = live_bound
+    batch_sampler.live_blobs = live_blobs
+    batch_sampler.live_it = live_it
+    if psel:
+        batch_sampler.logvol_init = logvol0
+
+    # truncate the saved run to where the new run joins it
+    if logl_min == -np.inf:
+        vol_idx = 0
+    else:
+        vol_idx = int(np.argmin(np.abs(saved_logl - logl_min))) + 1
+    for k in batch_sampler.saved_run.keys():
+        batch_sampler.saved_run[k] = main_sampler.saved_run[k][:vol_idx]
+    batch_sampler.dlv = math.log((nlive_new + 1.0) / nlive_new)
+    batch_sampler.first_points = first_points
+    return batch_sampler, ncall, niter, logl_min, logl_max
+
+
+class DynamicSampler:
+    """Adaptive-allocation nested sampler (reference
+    ``dynamicsampler.py:625``)."""
+
+    def __init__(self, loglikelihood, ndim, sampling, bounding,
+                 nlive0=None, ncdim=None, rstate=None, queue_size=None,
+                 bound_update_interval_ratio=None, first_bound_update=None,
+                 bound_bootstrap=0, bound_enlarge=1.0, blob=False,
+                 cite=None):
+        self.loglikelihood = loglikelihood
+        self.ndim = ndim
+        self.ncdim = ncdim or ndim
+        self.blob = blob
+        self.bounding = bounding
+        self.sampling = sampling
+        self.bound_update_interval_ratio = bound_update_interval_ratio
+        self.first_bound_update = first_bound_update or {}
+        self.sampler = None
+        self.bound_enlarge = bound_enlarge
+        self.bound_bootstrap = bound_bootstrap
+        self.cite = cite or ""
+        self.rstate = rstate
+        self.queue_size = queue_size
+        self.pool = None
+        self.mapper = map
+
+        self.it = 1
+        self.batch = 0
+        self.ncall = 0
+        self.bound_list = []
+        self.eff = 1.0
+        self.nlive0 = nlive0 or 500
+        self.internal_state = DynamicSamplerStatesEnum.INIT
+
+        self.saved_run = RunRecord(dynamic=True)
+        self.base_run = RunRecord(dynamic=True)
+        self.new_run = None
+        self.new_logl_min, self.new_logl_max = -np.inf, np.inf
+
+        self.live_u = self.live_v = self.live_logl = None
+        self.live_bound = self.live_it = None
+        self.live_init = None
+        self.nlive_init = None
+        self.batch_sampler = None
+        self.checkpoint_timer = None
+        self.live_blobs = None
+
+    @classmethod
+    def create(cls, loglikelihood, prior_transform, ndim, nlive=500,
+               bound="multi", sample="auto", periodic=None, reflective=None,
+               update_interval=None, first_update=None, rstate=None,
+               queue_size=None, pool=None, use_pool=None, logl_args=None,
+               logl_kwargs=None, ptform_args=None, ptform_kwargs=None,
+               enlarge=None, bootstrap=None, walks=None, facc=0.5,
+               slices=None, ncdim=None, blob=False, likelihood_mode="jax",
+               save_evaluation_history=False, history_filename=None):
+        """Factory with the reference ``DynamicNestedSampler`` signature
+        (``dynesty.py:691-774``)."""
+        from .dynesty import _common_init
+        cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
+                           bound, sample, periodic, reflective, walks, facc,
+                           slices, ncdim, blob, likelihood_mode, pool,
+                           queue_size, rstate, logl_args, logl_kwargs,
+                           ptform_args, ptform_kwargs, enlarge, bootstrap,
+                           update_interval, first_update)
+        ratio = (cfg["bound_update_interval"] / nlive)
+        obj = cls(cfg["like"], ndim, cfg["internal_sampler"], cfg["bound"],
+                  nlive0=nlive, ncdim=cfg["ncdim"], rstate=cfg["rstate"],
+                  queue_size=cfg["queue_size"],
+                  bound_update_interval_ratio=ratio,
+                  first_bound_update=cfg["first_update"],
+                  bound_bootstrap=cfg["bootstrap"],
+                  bound_enlarge=cfg["enlarge"], blob=blob)
+        obj.pool = pool
+        return obj
+
+    # ------------------------------------------------------------------
+
+    def __setstate__(self, state):
+        self.__dict__ = state
+        self.pool = None
+        self.mapper = map
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for k in ("pool", "mapper"):
+            state.pop(k, None)
+        return state
+
+    def save(self, fname):
+        save_sampler(self, fname)
+
+    @staticmethod
+    def restore(fname, pool=None):
+        return restore_sampler(fname, pool=pool)
+
+    def __get_update_interval(self, update_interval, nlive):
+        if update_interval is None:
+            ratio = self.bound_update_interval_ratio
+        elif isinstance(update_interval, int):
+            ratio = update_interval / nlive
+        elif isinstance(update_interval, float):
+            ratio = update_interval
+        else:
+            raise RuntimeError(f"Invalid update_interval {update_interval}")
+        return int(max(min(np.round(ratio * nlive), sys.maxsize), 1))
+
+    def reset(self):
+        """Re-initialize the sampler state."""
+        DynamicSampler.__init__(
+            self, self.loglikelihood, self.ndim, self.sampling,
+            self.bounding, nlive0=self.nlive0, ncdim=self.ncdim,
+            rstate=self.rstate, queue_size=self.queue_size,
+            bound_update_interval_ratio=self.bound_update_interval_ratio,
+            first_bound_update=self.first_bound_update,
+            bound_bootstrap=self.bound_bootstrap,
+            bound_enlarge=self.bound_enlarge, blob=self.blob,
+            cite=self.cite)
+
+    @property
+    def results(self):
+        """Combined-run results (dynamic format)."""
+        d = {}
+        for k in ("nc", "v", "id", "batch", "it", "u", "n", "logwt", "logl",
+                  "logvol", "logz", "logzvar", "h", "batch_nlive",
+                  "batch_logl_bounds", "blob", "proposal_stats"):
+            d[k] = np.array(self.saved_run[k])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            results = [("niter", self.it - 1), ("ncall", d["nc"]),
+                       ("eff", self.eff), ("samples", d["v"])]
+            for k in ("id", "batch", "it", "u", "n"):
+                results.append(("samples_" + k, d[k]))
+            for k in ("logwt", "logl", "logvol", "logz", "batch_nlive",
+                      "batch_logl_bounds", "blob", "proposal_stats"):
+                results.append((k, d[k]))
+            results.append(("logzerr", np.sqrt(np.maximum(d["logzvar"],
+                                                          0))))
+            results.append(("information", d["h"]))
+            if self.sampler is not None and self.sampler.save_bounds:
+                results.append(("bound", copy.deepcopy(self.bound_list)))
+                results.append(
+                    ("bound_iter", np.array(self.saved_run["bounditer"])))
+                results.append(
+                    ("samples_bound", np.array(self.saved_run["boundidx"])))
+                results.append(("scale", np.array(self.saved_run["scale"])))
+        return Results(results)
+
+    @property
+    def n_effective(self):
+        logwt = self.saved_run["logwt"]
+        if len(logwt) == 0 or np.isneginf(np.max(logwt)):
+            return 0
+        return get_neff_from_logwt(np.asarray(logwt))
+
+    @property
+    def citations(self):
+        return self.cite
+
+    # ------------------------------------------------------------------
+
+    def sample_initial(self, nlive=None, update_interval=None,
+                       first_update=None, maxiter=None, maxcall=None,
+                       logl_max=np.inf, dlogz=0.01, live_points=None,
+                       resume=False):
+        """Baseline run generator (reference
+        ``dynamicsampler.py:927-1226``)."""
+        maxcall = maxcall or sys.maxsize
+        maxiter = maxiter or sys.maxsize
+        nlive = nlive or self.nlive0
+        update_interval = self.__get_update_interval(update_interval, nlive)
+        if nlive <= 2 * self.ncdim:
+            warnings.warn("Beware: `nlive_init <= 2 * ndim`!")
+
+        if not resume:
+            (self.live_u, self.live_v, self.live_logl,
+             blobs), logvol_init, init_ncalls = initialize_live_points(
+                 live_points, self.loglikelihood, nlive, self.ndim,
+                 self.rstate, blob=self.blob)
+            self.live_blobs = blobs if self.blob else None
+            self.nlive_init = len(self.live_u)
+            self.live_init = [
+                np.array(self.live_u),
+                np.array(self.live_v),
+                np.array(self.live_logl),
+                (list(self.live_blobs) if self.blob else None),
+            ]
+            self.ncall += init_ncalls
+            self.live_bound = np.zeros(self.nlive_init, dtype=int)
+            self.live_it = np.zeros(self.nlive_init, dtype=int)
+
+            if first_update is None:
+                first_update = self.first_bound_update
+            self.sampler = Sampler(
+                self.loglikelihood, self.ndim, self.live_init,
+                self.sampling, self.bounding,
+                bound_update_interval=update_interval,
+                first_bound_update=first_update, rstate=self.rstate,
+                queue_size=self.queue_size, ncdim=self.ncdim,
+                bound_bootstrap=self.bound_bootstrap,
+                bound_enlarge=self.bound_enlarge, blob=self.blob,
+                logvol_init=logvol_init)
+            self.bound_list = self.sampler.bound_list
+            self.internal_state = DynamicSamplerStatesEnum.LIVEPOINTSINIT
+
+        for results in self.sampler.sample(maxiter=maxiter,
+                                           maxcall=maxcall,
+                                           logl_max=logl_max, dlogz=dlogz,
+                                           resume=resume):
+            add_info = dict(id=results.worst, u=results.ustar,
+                            v=results.vstar, logl=results.loglstar,
+                            logvol=results.logvol, logwt=results.logwt,
+                            logz=results.logz, logzvar=results.logzvar,
+                            h=results.h, nc=results.nc, it=results.worst_it,
+                            n=self.nlive_init, blob=results.blob,
+                            boundidx=results.boundidx,
+                            bounditer=results.bounditer,
+                            scale=self.sampler.internal_sampler.scale,
+                            proposal_stats=results.proposal_stats)
+            self.base_run.append(add_info)
+            self.saved_run.append(add_info)
+            self.ncall += results.nc
+            self.eff = 100.0 * self.it / self.ncall
+            self.it += 1
+            self.internal_state = DynamicSamplerStatesEnum.INBASE
+            yield IteratorResult(worst=results.worst, ustar=results.ustar,
+                                 vstar=results.vstar,
+                                 loglstar=results.loglstar,
+                                 logvol=results.logvol, logwt=results.logwt,
+                                 logz=results.logz,
+                                 logzvar=results.logzvar, h=results.h,
+                                 nc=results.nc, blob=results.blob,
+                                 worst_it=results.worst_it,
+                                 boundidx=results.boundidx,
+                                 bounditer=results.bounditer, eff=self.eff,
+                                 delta_logz=results.delta_logz,
+                                 proposal_stats=results.proposal_stats)
+
+        self.internal_state = DynamicSamplerStatesEnum.INBASEADDLIVE
+        for it, results in enumerate(self.sampler.add_live_points()):
+            add_info = dict(id=results.worst, u=results.ustar,
+                            v=results.vstar, logl=results.loglstar,
+                            logvol=results.logvol, logwt=results.logwt,
+                            logz=results.logz, logzvar=results.logzvar,
+                            h=results.h, blob=results.blob, nc=results.nc,
+                            it=results.worst_it, n=self.nlive_init - it,
+                            boundidx=results.boundidx,
+                            bounditer=results.bounditer,
+                            scale=self.sampler.internal_sampler.scale,
+                            proposal_stats=None)
+            self.base_run.append(add_info)
+            self.saved_run.append(add_info)
+            self.eff = 100.0 * self.it / self.ncall
+            self.it += 1
+            yield IteratorResult(worst=results.worst, ustar=results.ustar,
+                                 vstar=results.vstar,
+                                 loglstar=results.loglstar,
+                                 logvol=results.logvol, logwt=results.logwt,
+                                 logz=results.logz,
+                                 logzvar=results.logzvar, h=results.h,
+                                 blob=results.blob, nc=results.nc,
+                                 worst_it=results.worst_it,
+                                 boundidx=results.boundidx,
+                                 bounditer=results.bounditer, eff=self.eff,
+                                 delta_logz=results.delta_logz,
+                                 proposal_stats=None)
+
+        new_logwt, new_logz, new_logzvar, new_h = compute_integrals(
+            logl=self.saved_run["logl"], logvol=self.saved_run["logvol"])
+        for k, vals in (("logwt", new_logwt), ("logz", new_logz),
+                        ("logzvar", new_logzvar), ("h", new_h)):
+            self.saved_run[k] = vals.tolist()
+            self.base_run[k] = vals.tolist()
+        self.saved_run["batch"] = np.zeros(len(self.saved_run["id"]),
+                                           dtype=int)
+        self.saved_run["batch_nlive"].append(self.nlive_init)
+        self.saved_run["batch_logl_bounds"].append((-np.inf, np.inf))
+        self.internal_state = DynamicSamplerStatesEnum.BASE_DONE
+
+    def sample_batch(self, dlogz=0.01, nlive_new=None, update_interval=None,
+                     logl_bounds=None, maxiter=None, maxcall=None,
+                     save_bounds=True, resume=False):
+        """One batch generator (reference
+        ``dynamicsampler.py:1228-1465``)."""
+        maxcall = maxcall or sys.maxsize
+        maxiter = maxiter or sys.maxsize
+        nlive_new = nlive_new or self.nlive0
+        if nlive_new <= 2 * self.ncdim:
+            warnings.warn("Beware: `nlive_batch <= 2 * ndim`!")
+
+        if not resume:
+            update_interval = self.__get_update_interval(update_interval,
+                                                         nlive_new)
+            (batch_sampler, ncall, niter, logl_min,
+             logl_max) = _configure_batch_sampler(
+                 self, nlive_new, update_interval=update_interval,
+                 logl_bounds=logl_bounds, save_bounds=save_bounds)
+            self.batch_sampler = batch_sampler
+            self.bound_list = batch_sampler.bound_list
+            self.new_logl_min, self.new_logl_max = logl_min, logl_max
+            self.new_run = RunRecord(dynamic=True)
+            self.ncall += ncall
+            batch_sampler.it0 = self.it
+            it0 = self.it
+            maxcall_left = maxcall - ncall
+            maxiter_left = maxiter - niter
+        else:
+            batch_sampler = self.batch_sampler
+            it0 = batch_sampler.it0
+            logl_min, logl_max = self.new_logl_min, self.new_logl_max
+            maxcall_left = maxcall
+            maxiter_left = maxiter
+
+        # the batch's starting points, yielded for printing only; popped
+        # so an interrupted+resumed batch does not replay them
+        while batch_sampler.first_points:
+            yield batch_sampler.first_points.pop(0)
+
+        iterated_batch = False
+        results = None
+        for results in batch_sampler.sample(
+                dlogz=dlogz, logl_max=logl_max, maxiter=maxiter_left,
+                maxcall=maxcall_left, save_bounds=save_bounds,
+                resume=resume):
+            D = dict(id=results.worst, u=results.ustar, v=results.vstar,
+                     logl=results.loglstar, nc=results.nc,
+                     it=results.worst_it + it0, blob=results.blob,
+                     n=nlive_new, boundidx=results.boundidx,
+                     bounditer=results.bounditer,
+                     scale=batch_sampler.internal_sampler.scale,
+                     proposal_stats=results.proposal_stats)
+            self.new_run.append(D)
+            self.ncall += results.nc
+            self.eff = 100.0 * self.it / self.ncall
+            self.it += 1
+            maxiter_left -= 1
+            maxcall_left -= results.nc
+            iterated_batch = True
+            self.internal_state = DynamicSamplerStatesEnum.INBATCH
+            yield IteratorResultShort(worst=results.worst,
+                                      ustar=results.ustar,
+                                      vstar=results.vstar,
+                                      loglstar=results.loglstar,
+                                      nc=results.nc,
+                                      worst_it=results.worst_it + it0,
+                                      boundidx=results.boundidx,
+                                      bounditer=results.bounditer,
+                                      eff=self.eff,
+                                      delta_logz=results.delta_logz,
+                                      proposal_stats=results.proposal_stats)
+
+        if (iterated_batch and results.loglstar < logl_max
+                and np.isfinite(logl_max) and maxiter_left > 0
+                and maxcall_left > 0):
+            warnings.warn("Batch sampling terminated before reaching the "
+                          "target maximum likelihood; you may need more "
+                          "live points for multi-modal posteriors.")
+        self.internal_state = DynamicSamplerStatesEnum.INBATCHADDLIVE
+
+        if not iterated_batch and len(batch_sampler.saved_run["logl"]) == 0:
+            # only the initial batch live points were drawn
+            batch_sampler.saved_run["logvol"] = [-np.inf]
+            batch_sampler.saved_run["logl"] = [logl_min]
+            batch_sampler.saved_run["logz"] = [-1e100]
+            batch_sampler.saved_run["logzvar"] = [0]
+            batch_sampler.saved_run["h"] = [0]
+        for it, results in enumerate(batch_sampler.add_live_points()):
+            D = dict(id=results.worst, u=results.ustar, v=results.vstar,
+                     logl=results.loglstar, nc=results.nc,
+                     it=results.worst_it + it0, n=nlive_new - it,
+                     blob=results.blob, boundidx=results.boundidx,
+                     bounditer=results.bounditer,
+                     scale=batch_sampler.internal_sampler.scale,
+                     proposal_stats=None)
+            self.new_run.append(D)
+            self.eff = 100.0 * self.it / self.ncall
+            self.it += 1
+            yield IteratorResultShort(worst=results.worst,
+                                      ustar=results.ustar,
+                                      vstar=results.vstar,
+                                      loglstar=results.loglstar,
+                                      nc=results.nc,
+                                      worst_it=results.worst_it + it0,
+                                      boundidx=results.boundidx,
+                                      bounditer=results.bounditer,
+                                      eff=self.eff, delta_logz=np.nan,
+                                      proposal_stats=None)
+        self.batch_sampler = None
+
+    def combine_runs(self):
+        """Merge the newest batch into the combined run (two-pointer walk
+        plus plateau-aware volume assignment; reference
+        ``dynamicsampler.py:1467-1607``)."""
+        if len(self.new_run["id"]) == 0:
+            raise ValueError("No new samples are currently saved.")
+        saved_d, new_d = {}, {}
+        for k in ("id", "u", "v", "logl", "nc", "boundidx", "it",
+                  "bounditer", "n", "scale", "blob", "logvol",
+                  "proposal_stats"):
+            saved_d[k] = np.array(self.saved_run[k])
+            new_d[k] = np.array(self.new_run[k])
+        saved_d["batch"] = np.array(self.saved_run["batch"])
+        nsaved = len(saved_d["n"])
+        new_d["id"] = new_d["id"] + max(saved_d["id"]) + 1
+        nnew = len(new_d["n"])
+        llmin, llmax = self.new_logl_min, self.new_logl_max
+
+        old_batch_bounds = self.saved_run["batch_logl_bounds"]
+        old_batch_nlive = self.saved_run["batch_nlive"]
+        self.saved_run = RunRecord(dynamic=True)
+
+        idx_saved, idx_new = 0, 0
+        logl_s, logl_n = saved_d["logl"][0], new_d["logl"][0]
+        nlive_s, nlive_n = saved_d["n"][0], new_d["n"][0]
+        for _ in range(nsaved + nnew):
+            if logl_s > self.new_logl_min:
+                nlive = nlive_s + nlive_n
+            else:
+                nlive = nlive_s
+            add_info = {}
+            if logl_s <= logl_n:
+                add_info["batch"] = saved_d["batch"][idx_saved]
+                src, idx = saved_d, idx_saved
+                idx_saved += 1
+            else:
+                add_info["batch"] = self.batch + 1
+                src, idx = new_d, idx_new
+                idx_new += 1
+            for k in ("id", "u", "v", "logl", "nc", "boundidx", "it",
+                      "bounditer", "scale", "blob", "proposal_stats"):
+                add_info[k] = src[k][idx]
+            self.saved_run.append(add_info)
+            self.saved_run["n"].append(nlive)
+            if idx_saved < nsaved:
+                logl_s = saved_d["logl"][idx_saved]
+                nlive_s = saved_d["n"][idx_saved]
+            else:
+                logl_s, nlive_s = np.inf, 0
+            if idx_new < nnew:
+                logl_n = new_d["logl"][idx_new]
+                nlive_n = new_d["n"][idx_new]
+            else:
+                logl_n, nlive_n = np.inf, 0
+
+        plateau_mode = False
+        plateau_counter = 0
+        plateau_logdvol = 0.0
+        logvol = self.sampler.logvol_init
+        logl_array = np.array(self.saved_run["logl"])
+        nlive_array = np.array(self.saved_run["n"])
+        for i, (cur_logl, nlive) in enumerate(zip(logl_array, nlive_array)):
+            if (not plateau_mode and i != len(nlive_array) - 1
+                    and logl_array[i] == logl_array[i + 1]):
+                nplateau = (logl_array[i:] == cur_logl).sum()
+                if nplateau > 1:
+                    plateau_counter = nplateau
+                    plateau_logdvol = logvol + np.log(1.0 / (nlive + 1))
+                    plateau_mode = True
+            if not plateau_mode:
+                logvol -= math.log((nlive + 1.0) / nlive)
+            else:
+                logvol = logvol + np.log1p(
+                    -np.exp(plateau_logdvol - logvol))
+            self.saved_run["logvol"].append(logvol)
+            if plateau_mode:
+                plateau_counter -= 1
+                if plateau_counter == 0:
+                    plateau_mode = False
+
+        assert self.saved_run["logl"][0] == min(new_d["logl"][0],
+                                                saved_d["logl"][0])
+        assert self.saved_run["logl"][-1] == max(new_d["logl"][-1],
+                                                 saved_d["logl"][-1])
+
+        new_logwt, new_logz, new_logzvar, new_h = compute_integrals(
+            logl=self.saved_run["logl"], logvol=self.saved_run["logvol"])
+        self.saved_run["logwt"].extend(new_logwt.tolist())
+        self.saved_run["logz"].extend(new_logz.tolist())
+        self.saved_run["logzvar"].extend(new_logzvar.tolist())
+        self.saved_run["h"].extend(new_h.tolist())
+
+        self.new_run = None
+        self.new_logl_min, self.new_logl_max = -np.inf, np.inf
+        self.batch += 1
+        self.saved_run["batch_nlive"] = old_batch_nlive + \
+            [int(max(new_d["n"]))]
+        self.saved_run["batch_logl_bounds"] = old_batch_bounds + \
+            [(llmin, llmax)]
+
+    # ------------------------------------------------------------------
+
+    def run_nested(self, nlive_init=None, maxiter_init=None,
+                   maxcall_init=None, dlogz_init=0.01, logl_max_init=np.inf,
+                   nlive_batch=None, wt_function=None, wt_kwargs=None,
+                   maxiter_batch=None, maxcall_batch=None, maxiter=None,
+                   maxcall=None, maxbatch=None, n_effective=None,
+                   stop_function=None, stop_kwargs=None, use_stop=True,
+                   save_bounds=True, print_progress=True, print_func=None,
+                   live_points=None, resume=False, checkpoint_file=None,
+                   checkpoint_every=60):
+        """The main dynamic driver: baseline run, then batches until the
+        stopping criterion fires (reference
+        ``dynamicsampler.py:1610-1928``)."""
+        maxcall = sys.maxsize if maxcall is None else maxcall
+        maxiter = sys.maxsize if maxiter is None else maxiter
+        maxiter_batch = sys.maxsize if maxiter_batch is None \
+            else maxiter_batch
+        maxcall_batch = sys.maxsize if maxcall_batch is None \
+            else maxcall_batch
+        maxbatch = sys.maxsize if maxbatch is None else maxbatch
+        maxiter_init = sys.maxsize if maxiter_init is None else maxiter_init
+        maxcall_init = sys.maxsize if maxcall_init is None else maxcall_init
+        wt_function = wt_function or weight_function
+        wt_kwargs = wt_kwargs or {}
+        if stop_function is None:
+            stop_function = stopping_function
+            stop_kwargs = dict(stop_kwargs or {})
+            if n_effective is None:
+                n_effective = max(self.ndim * self.ndim, 10000)
+            stop_kwargs["target_n_effective"] = n_effective
+        else:
+            stop_kwargs = stop_kwargs or {}
+        nlive_init = nlive_init or self.nlive0
+        nlive_batch = nlive_batch or self.nlive0
+
+        ncall = self.ncall
+        niter = self.it - 1
+        logl_bounds = (-np.inf, np.inf)
+        maxcall_init = min(maxcall_init, maxcall)
+        maxiter_init = min(maxiter_init, maxiter)
+
+        if resume:
+            if self.internal_state == DynamicSamplerStatesEnum.RUN_DONE:
+                warnings.warn("Cannot resume a successfully finished run; "
+                              "no sampling performed.", RuntimeWarning)
+                return
+        else:
+            if self.internal_state not in (
+                    DynamicSamplerStatesEnum.INIT,
+                    DynamicSamplerStatesEnum.RUN_DONE):
+                warnings.warn("run_nested() called from an unclear sampler "
+                              "state; no sampling performed.",
+                              RuntimeWarning)
+                return
+
+        pbar, print_func = get_print_func(print_func, print_progress)
+        self.checkpoint_timer = DelayTimer(checkpoint_every)
+        results = None
+        try:
+            if self.internal_state in (
+                    DynamicSamplerStatesEnum.INIT,
+                    DynamicSamplerStatesEnum.LIVEPOINTSINIT,
+                    DynamicSamplerStatesEnum.INBASE,
+                    DynamicSamplerStatesEnum.INBASEADDLIVE):
+                for results in self.sample_initial(
+                        nlive=nlive_init, dlogz=dlogz_init,
+                        maxcall=maxcall_init, maxiter=maxiter_init,
+                        logl_max=logl_max_init, live_points=live_points,
+                        resume=resume):
+                    resume = False
+                    ncall += results.nc
+                    niter += 1
+                    if (checkpoint_file is not None and self.internal_state
+                            != DynamicSamplerStatesEnum.INBASEADDLIVE
+                            and self.checkpoint_timer.is_time()):
+                        self.save(checkpoint_file)
+                    if print_progress:
+                        print_func(results, niter, ncall, nbatch=0,
+                                   dlogz=dlogz_init,
+                                   logl_max=logl_max_init)
+            for n in range(self.batch, maxbatch):
+                res = self.results
+                mcall = min(maxcall - ncall, maxcall_batch)
+                miter = min(maxiter - niter, maxiter_batch)
+                if mcall > 0 and miter > 0 and use_stop:
+                    stop, stop_vals = stop_function(res, stop_kwargs,
+                                                    rstate=self.rstate,
+                                                    mapper=map,
+                                                    return_vals=True)
+                    stop_val = stop_vals[2]
+                else:
+                    stop = False
+                    stop_val = np.nan
+
+                if mcall > 0 and miter > 0 and not stop:
+                    passback = self.add_batch(
+                        nlive=nlive_batch, wt_function=wt_function,
+                        wt_kwargs=wt_kwargs, maxiter=miter, maxcall=mcall,
+                        save_bounds=save_bounds,
+                        print_progress=print_progress,
+                        print_func=print_func, stop_val=stop_val,
+                        resume=resume, checkpoint_file=checkpoint_file)
+                    resume = False
+                    ncall, niter, logl_bounds, results = passback
+                else:
+                    break
+            self.internal_state = DynamicSamplerStatesEnum.RUN_DONE
+            if checkpoint_file is not None:
+                self.save(checkpoint_file)
+        finally:
+            if pbar is not None:
+                pbar.close()
+            if print_progress:
+                sys.stderr.write("\n")
+
+    def add_batch(self, nlive=500, dlogz=1e-2, mode="weight",
+                  wt_function=None, wt_kwargs=None, maxiter=None,
+                  maxcall=None, logl_bounds=None, save_bounds=True,
+                  print_progress=True, print_func=None, stop_val=None,
+                  resume=False, checkpoint_file=None,
+                  checkpoint_every=None):
+        """Allocate one additional batch (modes: auto/weight/full/manual;
+        reference ``dynamicsampler.py:1930-2133``)."""
+        maxcall = sys.maxsize if maxcall is None else maxcall
+        maxiter = sys.maxsize if maxiter is None else maxiter
+        wt_function = wt_function or weight_function
+        wt_kwargs = wt_kwargs or {}
+        stop_val = np.nan if stop_val is None else stop_val
+
+        res = self.results
+        if mode != "manual" and logl_bounds is not None:
+            raise RuntimeError("explicit logl_bounds require mode='manual'")
+        if mode == "manual" and logl_bounds is None:
+            raise RuntimeError("mode='manual' requires logl_bounds")
+        if mode in ("auto", "weight"):
+            logl_bounds = wt_function(res, wt_kwargs)
+        if logl_bounds is None:
+            logl_min, logl_max = -np.inf, np.inf
+        else:
+            logl_min, logl_max = logl_bounds
+        logz, logzvar = res["logz"][-1], res["logzerr"][-1] ** 2
+
+        ncall, niter, n = self.ncall, self.it - 1, self.batch
+        if checkpoint_file is not None:
+            timer = DelayTimer(checkpoint_every) \
+                if checkpoint_every is not None else self.checkpoint_timer
+        if maxcall <= 0 or maxiter <= 0:
+            raise RuntimeError("add_batch called with no remaining calls "
+                               "or iterations")
+        pbar, print_func = get_print_func(print_func, print_progress)
+        results = None
+        try:
+            for cur in self.sample_batch(nlive_new=nlive, dlogz=dlogz,
+                                         logl_bounds=logl_bounds,
+                                         maxiter=maxiter, maxcall=maxcall,
+                                         save_bounds=save_bounds,
+                                         resume=resume):
+                resume = False
+                if cur.worst >= 0:
+                    ncall += cur.nc
+                    niter += 1
+                results = IteratorResult(
+                    worst=cur.worst, ustar=cur.ustar, vstar=cur.vstar,
+                    loglstar=cur.loglstar, blob=None, logvol=np.nan,
+                    logwt=np.nan, logz=logz, logzvar=logzvar, h=np.nan,
+                    nc=cur.nc, worst_it=cur.worst_it,
+                    boundidx=cur.boundidx, bounditer=cur.bounditer,
+                    eff=cur.eff, delta_logz=cur.delta_logz,
+                    proposal_stats=cur.proposal_stats)
+                if print_progress:
+                    print_func(results, niter, ncall, nbatch=n + 1,
+                               dlogz=dlogz, stop_val=stop_val,
+                               logl_min=logl_min, logl_max=logl_max)
+                if (checkpoint_file is not None and self.internal_state
+                        not in (DynamicSamplerStatesEnum.INBATCHADDLIVE,
+                                DynamicSamplerStatesEnum.BATCH_DONE)
+                        and timer.is_time()):
+                    self.save(checkpoint_file)
+        finally:
+            if pbar is not None:
+                pbar.close()
+
+        self.combine_runs()
+        self.internal_state = DynamicSamplerStatesEnum.BATCH_DONE
+        return ncall, niter, logl_bounds, results

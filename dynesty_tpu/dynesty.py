@@ -165,3 +165,11 @@ def DynamicNestedSampler(*args, **kwargs):
     :mod:`dynesty_tpu.dynamicsampler`; imported lazily to avoid a cycle)."""
     from .dynamicsampler import DynamicSampler
     return DynamicSampler.create(*args, **kwargs)
+
+
+def _dynamic_restore(fname, pool=None):
+    from .dynamicsampler import DynamicSampler
+    return DynamicSampler.restore(fname, pool=pool)
+
+
+DynamicNestedSampler.restore = _dynamic_restore

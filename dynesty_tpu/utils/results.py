@@ -170,7 +170,8 @@ class Results:
 
 
 def results_substitute(results, substitutions):
-    """Return a copy of ``results`` with the given key/value overrides."""
-    new = dict(results.items())
-    new.update(substitutions)
+    """Return a copy of ``results`` with existing keys overridden;
+    substitutions for keys absent from ``results`` are ignored (reference
+    ``utils.py:937-947`` semantics)."""
+    new = {k: substitutions.get(k, v) for k, v in results.items()}
     return Results(new)

@@ -108,7 +108,7 @@ def jitter_run(res, rstate=None, approx=False):
             "logwt": logwt,
             "logz": logz,
             "logzerr": np.sqrt(np.maximum(logzvar, 0)),
-            "h": h,
+            "information": h,
         })
 
 
@@ -229,7 +229,7 @@ def reweight_run(res, logp_new, logp_old=None):
             "logwt": logwt,
             "logz": logz,
             "logzerr": np.sqrt(np.maximum(logzvar, 0)),
-            "h": h,
+            "information": h,
         })
 
 

@@ -1,0 +1,130 @@
+"""Checkpoint/resume tests: save mid-run, restore, finish; the final
+result must be bit-identical to an uninterrupted run (the invariant of
+reference ``tests/test_resume.py:106-109``)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+import dynesty_tpu as dytpu
+
+from utils import get_rstate
+
+NDIM = 3
+LOGZ_TRUTH = NDIM * (-np.log(20.0))
+
+
+# module-level (picklable) problem definition
+_COV = np.identity(NDIM)
+_COV[_COV == 0] = 0.95
+_CINV = np.linalg.inv(_COV)
+_LNORM = -0.5 * (np.log(2 * np.pi) * NDIM + np.log(np.linalg.det(_COV)))
+
+
+def gau_loglike(x):
+    return -0.5 * jnp.dot(x, jnp.asarray(_CINV) @ x) + _LNORM
+
+
+def gau_ptform(u):
+    return 10.0 * (2.0 * u - 1.0)
+
+
+def _gau():
+    return gau_loglike, gau_ptform
+
+
+def _run_static(maxiter_first=None, fname=None):
+    """Run a static fit, optionally stopping after ``maxiter_first``
+    iterations, saving, restoring, and continuing."""
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=120,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32)
+    if maxiter_first is None:
+        sampler.run_nested(print_progress=False)
+        return sampler.results
+    sampler.run_nested(maxiter=maxiter_first, add_live=False,
+                       print_progress=False)
+    sampler.save(fname)
+    del sampler, loglike, ptform
+
+    # restore in a "fresh" context: user functions come back via pickle
+    sampler2 = dytpu.NestedSampler.restore(fname)
+    sampler2.run_nested(resume=True, print_progress=False)
+    return sampler2.results
+
+
+def test_static_save_restore_resume():
+    with tempfile.TemporaryDirectory() as tmp:
+        fname = os.path.join(tmp, "save.pkl")
+        res_interrupted = _run_static(maxiter_first=300, fname=fname)
+    res_full = _run_static()
+    # the resumed run must continue identically: bit-identical outputs
+    assert res_interrupted.niter == res_full.niter
+    assert np.array_equal(res_interrupted.logz, res_full.logz)
+    assert np.array_equal(res_interrupted.logl, res_full.logl)
+    assert np.array_equal(np.asarray(res_interrupted.samples),
+                          np.asarray(res_full.samples))
+
+
+def _run_dynamic(fname=None, interrupt_batches=False):
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM, bound="single",
+                                     sample="unif", rstate=rstate,
+                                     queue_size=32)
+    if fname is None:
+        dns.run_nested(nlive_init=120, nlive_batch=80, maxbatch=2,
+                       print_progress=False)
+        return dns.results
+    # run the baseline, save, restore, then add batches
+    dns.run_nested(nlive_init=120, maxbatch=0, print_progress=False)
+    dns.save(fname)
+    del dns, loglike, ptform
+    dns2 = dytpu.DynamicNestedSampler.restore(fname)
+    for _ in range(2):
+        dns2.add_batch(nlive=80, print_progress=False)
+    return dns2.results
+
+
+def test_dynamic_save_restore():
+    with tempfile.TemporaryDirectory() as tmp:
+        fname = os.path.join(tmp, "dsave.pkl")
+        res = _run_dynamic(fname=fname)
+    assert res.isdynamic()
+    assert abs(res.logz[-1] - LOGZ_TRUTH) < 5 * res.logzerr[-1]
+    assert len(res.batch_nlive) == 3
+
+
+def test_checkpoint_file_written():
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    with tempfile.TemporaryDirectory() as tmp:
+        fname = os.path.join(tmp, "ckpt.pkl")
+        sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                      bound="single", sample="unif",
+                                      rstate=rstate, queue_size=32)
+        sampler.run_nested(print_progress=False, checkpoint_file=fname,
+                           checkpoint_every=0.0)
+        assert os.path.exists(fname)
+        restored = dytpu.NestedSampler.restore(fname)
+        assert restored.it == sampler.it
+
+
+def test_pickle_roundtrip():
+    import pickle
+
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(maxiter=200, print_progress=False, add_live=False)
+    blob = pickle.dumps(sampler)
+    sampler2 = pickle.loads(blob)
+    sampler2.run_nested(resume=True, maxiter=250, print_progress=False,
+                        add_live=False)
+    assert sampler2.it >= sampler.it
