@@ -20,6 +20,22 @@ Public API mirrors the reference (``dynesty.py:578-774``):
 shim), plus ``plotting`` and ``utils``.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Proposal rounds are heavyweight compilations reused across runs and
+# processes; a persistent compilation cache makes cold starts cheap.
+# Opt out with DYNESTY_TPU_NO_COMPILATION_CACHE=1 or by configuring
+# jax_compilation_cache_dir yourself before importing dynesty_tpu.
+if not _os.environ.get("DYNESTY_TPU_NO_COMPILATION_CACHE"):
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/dynesty_tpu_xla"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+
 from ._version import __version__
 from .dynesty import NestedSampler, DynamicNestedSampler
 from . import bounding

@@ -131,6 +131,7 @@ class NestedSampler(Sampler):
                  ptform_args=None, ptform_kwargs=None, enlarge=None,
                  bootstrap=None, walks=None, facc=0.5, slices=None,
                  ncdim=None, blob=False, likelihood_mode="jax",
+                 mesh=None,
                  save_evaluation_history=False, history_filename=None):
         cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
                            bound, sample, periodic, reflective, walks, facc,
@@ -155,7 +156,8 @@ class NestedSampler(Sampler):
             bound_bootstrap=cfg["bootstrap"],
             bound_enlarge=cfg["enlarge"],
             blob=blob,
-            logvol_init=logvol_init)
+            logvol_init=logvol_init,
+            mesh=mesh)
         self.ncall = init_ncalls
         self.pool = pool
 

@@ -78,6 +78,21 @@ def _zeros_like_batch(like, q, ndim, dtype):
     return u, v, logl, blob
 
 
+def pack_columns(q, dtype, *cols):
+    """Pack per-lane outputs into ONE (q, W) array so a round costs a
+    single device->host transfer (the axon relay pays a large fixed cost
+    per fetched buffer).  Scalars are broadcast to length-q columns."""
+    parts = []
+    for c in cols:
+        c = jnp.asarray(c, dtype)
+        if c.ndim == 0:
+            c = jnp.broadcast_to(c, (q,))
+        if c.ndim == 1:
+            c = c[:, None]
+        parts.append(c)
+    return jnp.concatenate(parts, axis=1)
+
+
 # ==========================================================================
 # bound sampling (device side)
 
@@ -237,10 +252,8 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
         key, n_filled, waves, nc, n_prop, bufs = jax.lax.while_loop(
             cond, body, init)
         bu, bv, bl, bb = bufs
-        return {
-            "u": bu, "v": bv, "logl": bl, "blob": bb,
-            "nc": nc, "n_proposals": n_prop, "n_filled": n_filled,
-        }
+        packed = pack_columns(q, dtype, bu, bv, bl, nc, n_prop, n_filled)
+        return packed, bb
 
     return jax.jit(round_fn)
 
@@ -251,6 +264,7 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
 
 def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
                      periodic=None, reflective=None, dtype=jnp.float64):
+    npdim = like.npdim
     """Build the jitted random-walk round: each of the ``q`` lanes performs
     exactly ``walks`` proposals inside its scaled ellipsoid (axes per
     lane), accepting moves with ``logl > loglstar``.
@@ -266,8 +280,12 @@ def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
     rm = _mask_from_indices(reflective, ndim)
     n_extra = ndim - ncdim
 
-    def round_fn(key, start_u, start_v, start_logl, start_blob, axes,
-                 scale, loglstar):
+    def round_fn(key, packed_in, start_blob, scale, loglstar):
+        start_u = packed_in[:, :ndim]
+        start_v = packed_in[:, ndim:ndim + npdim]
+        start_logl = packed_in[:, ndim + npdim]
+        axes = packed_in[:, ndim + npdim + 1:].reshape(q, ncdim, ncdim)
+
         def step(carry, step_key):
             u, v, logl, blob, n_acc, n_rej = carry
             kd, ke = jax.random.split(step_key)
@@ -296,11 +314,8 @@ def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
         keys = jax.random.split(key, walks)
         (u, v, logl, blob, n_acc, n_rej), _ = jax.lax.scan(
             step, carry0, keys)
-        return {
-            "u": u, "v": v, "logl": logl, "blob": blob,
-            "nc": jnp.full((q,), walks, dtype=jnp.int32),
-            "n_accept": n_acc, "n_reject": n_rej,
-        }
+        packed = pack_columns(q, dtype, u, v, logl, n_acc, n_rej)
+        return packed, blob
 
     return jax.jit(round_fn)
 
@@ -334,6 +349,7 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
     times with stepping-out; the host then switches to doubling mode).
     """
     assert kind in ("slice", "rslice")
+    npdim = like.npdim
     nb = jnp.asarray(np.asarray(nonperiodic, dtype=bool)) \
         if nonperiodic is not None else None
     maxlen = math.sqrt(ndim) / 2.0
@@ -486,8 +502,11 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
         return u, v, logl, blob, nc, n_expand, n_contract, \
             expansion_warning
 
-    def round_fn(key, start_u, start_v, start_logl, start_blob, axes,
-                 scale, loglstar):
+    def round_fn(key, packed_in, start_blob, scale, loglstar):
+        start_u = packed_in[:, :ndim]
+        start_v = packed_in[:, ndim:ndim + npdim]
+        start_logl = packed_in[:, ndim + npdim]
+        axes = packed_in[:, ndim + npdim + 1:].reshape(q, ndim, ndim)
         kdir, kstep = jax.random.split(key)
         axes_d = axes.astype(dtype)
 
@@ -525,10 +544,8 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
         dirs_by_step = jnp.moveaxis(directions, 1, 0)  # (n_steps, q, ndim)
         (u, v, logl, blob, nc, n_expand, n_contract, warn), _ = \
             jax.lax.scan(step_accum, carry0, (step_keys, dirs_by_step))
-        return {
-            "u": u, "v": v, "logl": logl, "blob": blob, "nc": nc,
-            "n_expand": n_expand, "n_contract": n_contract,
-            "expansion_warning": warn,
-        }
+        packed = pack_columns(q, dtype, u, v, logl, nc, n_expand,
+                              n_contract, warn)
+        return packed, blob
 
     return jax.jit(round_fn)

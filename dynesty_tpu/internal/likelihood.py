@@ -126,8 +126,8 @@ class LogLikelihood:
                     lv, b = out
                     return v, lv, b
                 return v, out, None
-            return batch
-        return jax.vmap(one_point)
+            return jax.jit(batch)
+        return jax.jit(jax.vmap(one_point))
 
     # -- host path --------------------------------------------------------
 

@@ -17,6 +17,7 @@ called once per round with the aggregated statistics.
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .kernels import (make_rwalk_round, make_slice_round, make_unif_round,
@@ -93,7 +94,19 @@ class InternalSampler:
             nested_sampler.bound.get_random_axes(rstate)
             for _ in range(q)
         ])
-        return starts_u, starts_v, starts_logl, starts_blob, axes
+        # one packed host->device upload per round (fixed per-buffer cost)
+        packed = np.concatenate([
+            starts_u, starts_v, starts_logl[:, None],
+            axes.reshape(q, -1)
+        ], axis=1)
+        mesh = getattr(nested_sampler, "mesh", None)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            packed = shard_batch(mesh, packed.astype(
+                np.dtype(nested_sampler.dtype)))
+            if starts_blob is not None:
+                starts_blob = shard_batch(mesh, starts_blob)
+        return packed, starts_blob
 
     def propose_round(self, nested_sampler, loglstar, q, key):
         """Run one device round; return (list of per-proposal dicts,
@@ -114,25 +127,29 @@ class InternalSampler:
         return state
 
 
-def _rows_from_round(out, q, stats_fn):
-    """Convert stacked round outputs to a FIFO list of proposal dicts."""
-    u = np.asarray(out["u"], dtype=np.float64)
-    v = np.asarray(out["v"], dtype=np.float64)
-    logl = np.asarray(out["logl"], dtype=np.float64)
-    blob = out.get("blob")
+def _unpack_rows(packed, blob, ndim, npdim, extra_names, stats_fn,
+                 nc_from=None):
+    """Split the packed (q, W) round output into a FIFO list of proposal
+    dicts.  Column layout: u | v | logl | extras."""
+    q = packed.shape[0]
+    u = np.asarray(packed[:, :ndim], dtype=np.float64)
+    v = np.asarray(packed[:, ndim:ndim + npdim], dtype=np.float64)
+    logl = np.asarray(packed[:, ndim + npdim], dtype=np.float64)
+    extras = {}
+    for j, name in enumerate(extra_names):
+        extras[name] = packed[:, ndim + npdim + 1 + j]
     blob = np.asarray(blob) if blob is not None else None
-    nc = np.asarray(out["nc"]) if np.ndim(out["nc"]) else None
     rows = []
     for i in range(q):
         rows.append({
             "u": u[i],
             "v": v[i],
             "logl": logl[i],
-            "nc": int(nc[i]) if nc is not None else None,
+            "nc": int(nc_from(i, extras)) if nc_from else None,
             "blob": blob[i] if blob is not None else None,
-            "proposal_stats": stats_fn(i),
+            "proposal_stats": stats_fn(i, extras),
         })
-    return rows
+    return rows, extras
 
 
 class UnitCubeSampler(InternalSampler):
@@ -148,20 +165,25 @@ class UnitCubeSampler(InternalSampler):
             lambda: make_unif_round(like, ndim=self.ndim, ncdim=self.ndim,
                                     q=q, bound_kind="cube",
                                     dtype=nested_sampler.dtype))
-        out = fn(key, loglstar, {})
-        out = {k: np.asarray(v) if v is not None else None
-               for k, v in out.items()}
-        n_filled = int(out["n_filled"])
+        packed, blob = jax.device_get(fn(key, loglstar, {}))
+        return self._unif_rows(packed, blob, like, q)
+
+    def _unif_rows(self, packed, blob, like, q):
+        ndim, npdim = self.ndim, like.npdim
+        n_filled = int(packed[0, ndim + npdim + 3])
         if n_filled < q:
-            raise RuntimeError("Unit-cube sampling failed to find points "
-                               f"above loglstar ({n_filled}/{q}).")
-        total_nc = int(out["nc"])
-        # spread the total count over the slots (sum is exact)
+            raise RuntimeError("Uniform sampling failed to find enough "
+                               f"points above loglstar ({n_filled}/{q}).")
+        total_nc = int(packed[0, ndim + npdim + 1])
+        # spread the exact total evaluation count over the slots
         base, extra = divmod(total_nc, q)
-        out["nc"] = np.full(q, base, dtype=np.int64)
-        out["nc"][:extra] += 1
-        rows = _rows_from_round(
-            out, q, lambda i: {"n_proposals": int(out["nc"][i])})
+        nc = np.full(q, base, dtype=np.int64)
+        nc[:extra] += 1
+        n_prop = int(packed[0, ndim + npdim + 2])
+        rows, _ = _unpack_rows(
+            packed, blob, ndim, npdim, (), 
+            lambda i, e: {"n_proposals": max(n_prop // q, 1)},
+            nc_from=lambda i, e: nc[i])
         return rows, None
 
 
@@ -180,12 +202,24 @@ class UniformBoundSampler(InternalSampler):
                 f"Bound {type(bound).__name__} has no device sampling "
                 "spec; use rwalk/rslice/slice with custom bounds.")
         kind, arrays = spec
-        if kind == "ellipsoids":
-            arrays = pad_ellipsoids(arrays["ctrs"], arrays["axes"],
-                                    arrays["ams"], arrays["logvols"])
-        elif kind in ("balls", "cubes"):
-            arrays = dict(arrays)
-            arrays["ctrs"] = np.asarray(bound.ctrs)
+        # bound arrays change only at refits: cache the device upload
+        version = getattr(nested_sampler, "bound_version", 0)
+        cached = self._round_cache.get("_bound_arrays")
+        if cached is not None and cached[0] == version and \
+                cached[1] == kind:
+            dev_arrays = cached[2]
+        else:
+            if kind == "ellipsoids":
+                arrays = pad_ellipsoids(arrays["ctrs"], arrays["axes"],
+                                        arrays["ams"], arrays["logvols"])
+            else:
+                arrays = dict(arrays)
+            dev_arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self._round_cache["_bound_arrays"] = (version, kind, dev_arrays)
+        if kind in ("balls", "cubes"):
+            # centers follow the live points every round
+            dev_arrays = dict(dev_arrays)
+            dev_arrays["ctrs"] = jnp.asarray(np.asarray(bound.ctrs))
         fn = self._cached_round(
             (kind, q),
             lambda: make_unif_round(
@@ -193,23 +227,10 @@ class UniformBoundSampler(InternalSampler):
                 bound_kind=kind,
                 nonbounded=self.sampler_kwargs.get("nonbounded"),
                 dtype=nested_sampler.dtype))
-        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-        out = fn(key, loglstar, arrays)
-        out = {k: np.asarray(v) if v is not None else None
-               for k, v in out.items()}
-        n_filled = int(out["n_filled"])
-        if n_filled < q:
-            raise RuntimeError(
-                "Uniform bound sampling is extremely inefficient: only "
-                f"{n_filled}/{q} proposals found above loglstar.")
-        total_nc = int(out["nc"])
-        base, extra = divmod(total_nc, q)
-        out["nc"] = np.full(q, base, dtype=np.int64)
-        out["nc"][:extra] += 1
-        n_prop = int(out["n_proposals"])
-        rows = _rows_from_round(
-            out, q, lambda i: {"n_proposals": n_prop // q})
-        return rows, None
+        packed, blob = jax.device_get(fn(key, loglstar, dev_arrays))
+        return self._unif_rows(packed, blob, like, q)
+
+    _unif_rows = UnitCubeSampler._unif_rows
 
 
 class RWalkSampler(InternalSampler):
@@ -231,8 +252,7 @@ class RWalkSampler(InternalSampler):
 
     def propose_round(self, nested_sampler, loglstar, q, key):
         like = nested_sampler.loglikelihood
-        su, sv, sl, sb, axes = self._gather_starts(nested_sampler, loglstar,
-                                                   q)
+        packed_in, sb = self._gather_starts(nested_sampler, loglstar, q)
         fn = self._cached_round(
             ("rwalk", q, self.walks),
             lambda: make_rwalk_round(
@@ -242,17 +262,19 @@ class RWalkSampler(InternalSampler):
                 periodic=self.sampler_kwargs.get("periodic"),
                 reflective=self.sampler_kwargs.get("reflective"),
                 dtype=nested_sampler.dtype))
-        out = fn(key, su, sv, sl, sb, axes, self.scale, loglstar)
-        out = {k: np.asarray(v) if v is not None else None
-               for k, v in out.items()}
-        n_acc = out["n_accept"].astype(int)
-        n_rej = out["n_reject"].astype(int)
-        rows = _rows_from_round(
-            out, q,
-            lambda i: {"n_accept": int(n_acc[i]), "n_reject": int(n_rej[i])})
+        packed, blob = jax.device_get(
+            fn(key, jnp.asarray(packed_in, nested_sampler.dtype), sb,
+               self.scale, loglstar))
+        walks = self.walks
+        rows, extras = _unpack_rows(
+            packed, blob, self.ndim, like.npdim,
+            ("n_accept", "n_reject"),
+            lambda i, e: {"n_accept": int(e["n_accept"][i]),
+                          "n_reject": int(e["n_reject"][i])},
+            nc_from=lambda i, e: walks)
         tuning_info = {
-            "accept": int(n_acc.sum()),
-            "reject": int(n_rej.sum()),
+            "accept": int(extras["n_accept"].sum()),
+            "reject": int(extras["n_reject"].sum()),
             "scale": self.scale,
         }
         return rows, tuning_info
@@ -305,8 +327,7 @@ class _SliceBase(InternalSampler):
 
     def _run(self, nested_sampler, loglstar, q, key, kind):
         like = nested_sampler.loglikelihood
-        su, sv, sl, sb, axes = self._gather_starts(nested_sampler, loglstar,
-                                                   q)
+        packed_in, sb = self._gather_starts(nested_sampler, loglstar, q)
         doubling = bool(self.sampler_kwargs.get("slice_doubling", False))
         fn = self._cached_round(
             (kind, q, self.slices, doubling),
@@ -314,19 +335,19 @@ class _SliceBase(InternalSampler):
                 like, ndim=self.ndim, q=q, slices=self.slices, kind=kind,
                 nonperiodic=self.sampler_kwargs.get("nonperiodic"),
                 doubling=doubling, dtype=nested_sampler.dtype))
-        out = fn(key, su, sv, sl, sb, axes, self.scale, loglstar)
-        out = {k: np.asarray(v) if v is not None else None
-               for k, v in out.items()}
-        n_exp = out["n_expand"].astype(int)
-        n_con = out["n_contract"].astype(int)
-        rows = _rows_from_round(
-            out, q,
-            lambda i: {"n_expand": int(n_exp[i]),
-                       "n_contract": int(n_con[i])})
+        packed, blob = jax.device_get(
+            fn(key, jnp.asarray(packed_in, nested_sampler.dtype), sb,
+               self.scale, loglstar))
+        rows, extras = _unpack_rows(
+            packed, blob, self.ndim, like.npdim,
+            ("nc", "n_expand", "n_contract", "warn"),
+            lambda i, e: {"n_expand": int(e["n_expand"][i]),
+                          "n_contract": int(e["n_contract"][i])},
+            nc_from=lambda i, e: int(e["nc"][i]))
         tuning_info = {
-            "n_expand": int(n_exp.sum()),
-            "n_contract": int(n_con.sum()),
-            "expansion_warning_set": bool(out["expansion_warning"]),
+            "n_expand": int(extras["n_expand"].sum()),
+            "n_contract": int(extras["n_contract"].sum()),
+            "expansion_warning_set": bool(extras["warn"][0] > 0),
         }
         if tuning_info["expansion_warning_set"]:
             import warnings
@@ -386,13 +407,16 @@ def get_internal_sampler(sample, ndim, **kwargs):
     if sample == "unif":
         return UniformBoundSampler(**kwargs)
     if sample == "rwalk":
-        kwargs.setdefault("walks", ndim + 20)
+        if kwargs.get("walks") is None:
+            kwargs["walks"] = ndim + 20
         return RWalkSampler(**kwargs)
     if sample == "slice":
-        kwargs.setdefault("slices", 3)
+        if kwargs.get("slices") is None:
+            kwargs["slices"] = 3
         return SliceSampler(**kwargs)
     if sample == "rslice":
-        kwargs.setdefault("slices", 3 + ndim)
+        if kwargs.get("slices") is None:
+            kwargs["slices"] = 3 + ndim
         return RSliceSampler(**kwargs)
     raise ValueError(f"Unknown sample option '{sample}' "
                      f"(choose from {INTERNAL_SAMPLER_LIST} or pass an "

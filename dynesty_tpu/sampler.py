@@ -146,7 +146,8 @@ class Sampler:
                  blob=False,
                  cite=None,
                  logvol_init=0.0,
-                 dtype=None):
+                 dtype=None,
+                 mesh=None):
         import jax.numpy as jnp
         import jax
 
@@ -189,6 +190,7 @@ class Sampler:
         self.ncall_at_last_update = 0
 
         self.unit_cube_sampling = True
+        self.bound_version = 0  # bumped at each refit (device upload cache)
         self.bound = UnitCube(self.ncdim)
         self.bound_list = [self.bound]
         self.nbound = 1
@@ -207,6 +209,8 @@ class Sampler:
         self.cite = cite or ""
         self.pool = None
         self.mapper = map
+        # optional jax.sharding.Mesh: shards the proposal batch over chips
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     # persistence
@@ -220,7 +224,7 @@ class Sampler:
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        for k in ("pool", "mapper"):
+        for k in ("pool", "mapper", "mesh"):
             state.pop(k, None)
         return state
 
@@ -228,6 +232,7 @@ class Sampler:
         self.__dict__ = state
         self.pool = None
         self.mapper = map
+        self.mesh = None
 
     # ------------------------------------------------------------------
     # bound management
@@ -238,6 +243,7 @@ class Sampler:
                           rstate=self.rstate,
                           bootstrap=self.bound_bootstrap,
                           pool=None)
+        self.bound_version += 1
         if self.bound_enlarge != 1.0:
             self.bound.scale_to_logvol(self.bound.logvol +
                                        np.log(self.bound_enlarge))
