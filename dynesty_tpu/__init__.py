@@ -43,6 +43,8 @@ from . import internal
 from . import utils
 from . import ops
 from . import pool
+from . import plotting
+from . import models
 
 __all__ = [
     "NestedSampler",
@@ -52,5 +54,7 @@ __all__ = [
     "utils",
     "ops",
     "pool",
+    "plotting",
+    "models",
     "__version__",
 ]

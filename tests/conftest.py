@@ -5,6 +5,9 @@ import os
 import sys
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# hermetic tests: skip the on-disk XLA cache (avoids cross-machine AOT
+# feature mismatches)
+os.environ.setdefault("DYNESTY_TPU_NO_COMPILATION_CACHE", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
