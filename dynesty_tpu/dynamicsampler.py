@@ -375,7 +375,8 @@ class DynamicSampler:
                            slices, ncdim, blob, likelihood_mode, pool,
                            queue_size, rstate, logl_args, logl_kwargs,
                            ptform_args, ptform_kwargs, enlarge, bootstrap,
-                           update_interval, first_update)
+                           update_interval, first_update,
+                           save_evaluation_history, history_filename)
         ratio = (cfg["bound_update_interval"] / nlive)
         obj = cls(cfg["like"], ndim, cfg["internal_sampler"], cfg["bound"],
                   nlive0=nlive, ncdim=cfg["ncdim"], rstate=cfg["rstate"],
@@ -383,7 +384,8 @@ class DynamicSampler:
                   bound_update_interval_ratio=ratio,
                   first_bound_update=cfg["first_update"],
                   bound_bootstrap=cfg["bootstrap"],
-                  bound_enlarge=cfg["enlarge"], blob=blob)
+                  bound_enlarge=cfg["enlarge"], blob=blob,
+                  cite=cfg["cite"]("dynamic"))
         obj.pool = pool
         return obj
 
@@ -913,6 +915,7 @@ class DynamicSampler:
         finally:
             if pbar is not None:
                 pbar.close()
+            self.loglikelihood.finalize_history()
             if print_progress:
                 sys.stderr.write("\n")
 

@@ -28,6 +28,56 @@ from .utils.misc import get_random_generator
 
 __all__ = ["NestedSampler", "DynamicNestedSampler"]
 
+_CORE_REFS = [
+    ("Speagle (2020)", "ui.adsabs.harvard.edu/abs/2020MNRAS.493.3132S"),
+    ("Koposov et al. (2024)", "doi.org/10.5281/zenodo.3348367"),
+]
+_NESTED_REFS = [
+    ("Skilling (2004)", "ui.adsabs.harvard.edu/abs/2004AIPC..735..395S"),
+    ("Skilling (2006)", "projecteuclid.org/euclid.ba/1340370944"),
+]
+_DYNAMIC_REFS = [
+    ("Higson et al. (2019)", "doi.org/10.1007/s11222-018-9844-0"),
+]
+_BOUND_REFS = {
+    "none": [],
+    "single": [("Mukherjee, Parkinson & Liddle (2006)",
+                "ui.adsabs.harvard.edu/abs/2006ApJ...638L..51M")],
+    "multi": [("Feroz, Hobson & Bridges (2009)",
+               "ui.adsabs.harvard.edu/abs/2009MNRAS.398.1601F")],
+    "balls": [("Buchner (2016)",
+               "ui.adsabs.harvard.edu/abs/2014arXiv1407.5459B"),
+              ("Buchner (2017)",
+               "ui.adsabs.harvard.edu/abs/2017arXiv170704476B")],
+    "cubes": [("Buchner (2016)",
+               "ui.adsabs.harvard.edu/abs/2014arXiv1407.5459B"),
+              ("Buchner (2017)",
+               "ui.adsabs.harvard.edu/abs/2017arXiv170704476B")],
+}
+
+
+def _get_citations(nested_type, bound, internal_sampler):
+    """Printable citation list for the chosen configuration (reference
+    ``dynesty.py:27-123``)."""
+    def fmt(refs):
+        return "\n".join(f"{name}: {url}" for name, url in refs)
+
+    blocks = [
+        ("Code and Methods", _CORE_REFS),
+        ("Nested Sampling", _NESTED_REFS),
+    ]
+    if nested_type == "dynamic":
+        blocks.append(("Dynamic Nested Sampling", _DYNAMIC_REFS))
+    bound_refs = _BOUND_REFS.get(bound if isinstance(bound, str) else "",
+                                 [])
+    if bound_refs:
+        blocks.append(("Bounding Method", bound_refs))
+    sampler_refs = list(getattr(internal_sampler, "citations", []) or [])
+    if sampler_refs:
+        blocks.append(("Sampling Method", sampler_refs))
+    return "\n\n".join(f"{title}:\n{fmt(refs)}"
+                       for title, refs in blocks)
+
 _DEFAULT_ENLARGE = 1.25
 _DEFAULT_UNIF_BOOTSTRAP = 5
 
@@ -89,7 +139,8 @@ def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
                  periodic, reflective, walks, facc, slices, ncdim, blob,
                  likelihood_mode, pool, queue_size, rstate,
                  logl_args, logl_kwargs, ptform_args, ptform_kwargs,
-                 enlarge, bootstrap, update_interval, first_update):
+                 enlarge, bootstrap, update_interval, first_update,
+                 save_evaluation_history=False, history_filename=None):
     ncdim = ncdim or ndim
     if ncdim != ndim and sample in ("slice", "rslice"):
         raise ValueError("ncdim unsupported for slice sampling")
@@ -107,7 +158,9 @@ def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
                          mode=likelihood_mode, blob=blob, pool=pool,
                          logl_args=logl_args, logl_kwargs=logl_kwargs,
                          ptform_args=ptform_args,
-                         ptform_kwargs=ptform_kwargs)
+                         ptform_kwargs=ptform_kwargs,
+                         save_evaluation_history=save_evaluation_history,
+                         history_filename=history_filename)
     if queue_size is None:
         queue_size = max(32, min(nlive, 256))
     bound_update_interval = _resolve_update_interval(
@@ -117,7 +170,9 @@ def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
                 first_update=first_update, rstate=rstate,
                 queue_size=queue_size, ncdim=ncdim,
                 bound_update_interval=bound_update_interval,
-                bound=bound)
+                bound=bound,
+                cite=lambda kind: _get_citations(kind, bound,
+                                                 internal_sampler))
 
 
 class NestedSampler(Sampler):
@@ -138,7 +193,8 @@ class NestedSampler(Sampler):
                            slices, ncdim, blob, likelihood_mode, pool,
                            queue_size, rstate, logl_args, logl_kwargs,
                            ptform_args, ptform_kwargs, enlarge, bootstrap,
-                           update_interval, first_update)
+                           update_interval, first_update,
+                           save_evaluation_history, history_filename)
         live_points, logvol_init, init_ncalls = initialize_live_points(
             live_points, cfg["like"], nlive, ndim, cfg["rstate"], blob=blob)
 
@@ -157,6 +213,7 @@ class NestedSampler(Sampler):
             bound_enlarge=cfg["enlarge"],
             blob=blob,
             logvol_init=logvol_init,
+            cite=cfg["cite"]("static"),
             mesh=mesh)
         self.ncall = init_ncalls
         self.pool = pool

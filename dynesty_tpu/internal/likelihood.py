@@ -65,13 +65,28 @@ class LogLikelihood:
                  mode="jax", blob=False, pool=None,
                  logl_args=None, logl_kwargs=None,
                  ptform_args=None, ptform_kwargs=None,
-                 dtype=None):
+                 dtype=None, save_evaluation_history=False,
+                 history_filename=None):
         if mode not in ("jax", "vectorized", "host"):
             raise ValueError(f"Unknown likelihood mode '{mode}'")
         self.mode = mode
         self.blob = blob
         self.ndim = ndim
         self.pool = pool
+        # evaluation-history recording (HDF5); in traced modes the history
+        # contains every LAUNCHED evaluation (a superset of the logical
+        # ncall: masked/out-of-cube lanes are evaluated then discarded)
+        self.save_evaluation_history = save_evaluation_history
+        self.history_filename = history_filename
+        self.save_every = 10000
+        self.failed_save = False
+        self._history_buffer = []
+        self.evaluation_history_counter = 0
+        if save_evaluation_history:
+            if history_filename is None:
+                raise ValueError("history_filename is required when "
+                                 "save_evaluation_history=True")
+            self.history_init()
         self.dtype = dtype or (jnp.float64 if jax.config.x64_enabled
                                else jnp.float32)
         self._base_logl = loglikelihood
@@ -203,6 +218,8 @@ class LogLikelihood:
             self.npdim = v.shape[1]
             if self.blob and blob is not None:
                 self.blob_shape_dtype = (blob.shape[1:], blob.dtype)
+        if self.save_evaluation_history:
+            self.append_evaluation_history(u, v, logl)
         return v, np.asarray(logl, dtype=np.float64), blob
 
     def batch_eval(self, u):
@@ -216,16 +233,82 @@ class LogLikelihood:
             if self.npdim is None:
                 raise RuntimeError("Host-mode likelihood must be probed "
                                    "with eval_host before tracing.")
-            return self._ensure_host_callback(u.shape[0])(u)
-        v, logl, blob = self._batch_fn(u)
-        return (jnp.asarray(v, self.dtype),
-                jnp.asarray(logl, self.dtype), blob)
+            v, logl, blob = self._ensure_host_callback(u.shape[0])(u)
+        else:
+            v, logl, blob = self._batch_fn(u)
+            v = jnp.asarray(v, self.dtype)
+            logl = jnp.asarray(logl, self.dtype)
+        if self.save_evaluation_history:
+            _io_callback(self._record_batch, None, u, v, logl,
+                         ordered=False)
+        return v, logl, blob
+
+    # -- evaluation history (HDF5) ----------------------------------------
+
+    def _record_batch(self, u, v, logl):
+        self.append_evaluation_history(np.asarray(u), np.asarray(v),
+                                       np.asarray(logl))
+
+    def history_init(self):
+        """Create (truncate) the HDF5 history file; datasets are created
+        at the first flush once output shapes are known."""
+        import h5py
+
+        self.evaluation_history_counter = 0
+        with h5py.File(self.history_filename, mode="w"):
+            pass
+
+    def append_evaluation_history(self, u, v, logl):
+        """Buffer a batch of evaluations; flush when the buffer is
+        large."""
+        if not self.save_evaluation_history:
+            return
+        self._history_buffer.append(
+            (np.atleast_2d(u), np.atleast_2d(v), np.atleast_1d(logl)))
+        if sum(len(b[2]) for b in self._history_buffer) > self.save_every:
+            self.history_save()
+
+    def history_save(self):
+        """Flush the buffered evaluations to the HDF5 file."""
+        if self.failed_save or not self.save_evaluation_history or                 not self._history_buffer:
+            return
+        import warnings
+
+        import h5py
+
+        try:
+            u = np.concatenate([b[0] for b in self._history_buffer])
+            v = np.concatenate([b[1] for b in self._history_buffer])
+            logl = np.concatenate([b[2] for b in self._history_buffer])
+            n = len(logl)
+            with h5py.File(self.history_filename, mode="a") as fp:
+                for name, arr in (("evaluation_u", u),
+                                  ("evaluation_v", v),
+                                  ("evaluation_logl", logl)):
+                    if name not in fp:
+                        fp.create_dataset(
+                            name, (0,) + arr.shape[1:],
+                            maxshape=(None,) + arr.shape[1:])
+                    ds = fp[name]
+                    ds.resize(self.evaluation_history_counter + n, axis=0)
+                    ds[-n:] = arr
+            self._history_buffer = []
+            self.evaluation_history_counter += n
+        except OSError:
+            warnings.warn("Failed to save the evaluation history; will "
+                          "not try again.")
+            self.failed_save = True
+
+    def finalize_history(self):
+        self.history_save()
 
     # -- pickling (drop the pool; re-attached on restore) ------------------
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["pool"] = None
+        state["save_evaluation_history"] = False  # disabled after restore
+        state["_history_buffer"] = []
         # closures over user callables are rebuilt on unpickle
         for k in ("_logl", "_ptform", "_batch_fn"):
             state.pop(k, None)

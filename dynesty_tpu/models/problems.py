@@ -115,23 +115,20 @@ class WeddingCake(_Problem):
         self.ndim = ndim
         self.sig = sig
         self.alpha = alpha
-        # exact logz: sum over shells of plateau value * shell volume
+        # exact logz: geometric series over the plateau shells
         D, a, s = ndim, alpha, sig
-        rmax = np.sqrt(D) / 2.0
-        i = np.arange(1000)
-        ri = rmax * a ** (i / D)
-        vol = (a ** i) * (1 - a)
-        logp = -(ri * a ** (1.0 / D)) ** 2 / (8.0 * s ** 2)
+        i = np.arange(100)
         from scipy.special import logsumexp
 
-        self.logz_truth = float(logsumexp(logp + np.log(vol)))
+        self.logz_truth = float(logsumexp(
+            -a ** (2 * i / D) / (8 * s ** 2) + i * np.log(a) +
+            np.log(1 - a)))
 
     def loglike(self, x):
         D, a, s = self.ndim, self.alpha, self.sig
         r = jnp.max(jnp.abs(x - 0.5))
-        i = jnp.ceil(D * jnp.log(2 * r / jnp.sqrt(D)) / jnp.log(a))
-        ri = jnp.sqrt(D) / 2.0 * a ** (i / D)
-        return -(ri ** 2) / (8.0 * s ** 2)
+        i = jnp.floor(D * jnp.log(2 * r) / jnp.log(a)).astype(jnp.int32)
+        return -(a ** (2.0 * i / D)) / (8.0 * s ** 2)
 
     def ptform(self, u):
         return u

@@ -639,5 +639,6 @@ class Sampler:
         finally:
             if pbar is not None:
                 pbar.close()
+            self.loglikelihood.finalize_history()
             if print_progress:
                 sys.stderr.write("\n")

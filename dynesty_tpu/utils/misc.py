@@ -132,7 +132,8 @@ def _format_status(results, niter, ncall, add_live_it=None, dlogz=None,
                    logl_max=np.inf):
     (_, _, _, loglstar, logvol, logwt, logz, logzvar, h, nc, _, _, _,
      _, eff, delta_logz, _) = results
-    logzerr = np.sqrt(logzvar) if logzvar >= 0 else np.nan
+    logzerr = np.sqrt(max(logzvar, 0.0))
+    delta_logz = min(delta_logz, 1e10)  # readable early-run display
     bits = [f"iter: {niter:d}"]
     if add_live_it is not None:
         bits.append(f"+{add_live_it:d}")
@@ -164,12 +165,35 @@ def print_fn(results, niter, ncall, add_live_it=None, dlogz=None,
     sys.stderr.flush()
 
 
+class _TqdmPrinter:
+    """Progress line through a tqdm bar (iteration counter + postfix
+    status), mirroring the reference's tqdm integration."""
+
+    def __init__(self):
+        from tqdm import tqdm
+
+        self.pbar = tqdm(total=None, unit="it", leave=True)
+
+    def __call__(self, results, niter, ncall, **kwargs):
+        line = _format_status(results, niter, ncall, **kwargs)
+        # strip the leading iter field; tqdm shows its own counter
+        self.pbar.set_postfix_str(line.split("| ", 1)[-1], refresh=False)
+        self.pbar.update(niter - self.pbar.n)
+
+    def close(self):
+        self.pbar.close()
+
+
 def get_print_func(print_func, print_progress):
-    """Resolve the progress printer; returns (pbar, print_func) where pbar
-    may need ``.close()`` (kept for API parity with the reference)."""
-    pbar = None
+    """Resolve the progress printer; returns (pbar, print_func).  With
+    tqdm available a live progress bar is used; otherwise a carriage-
+    return stderr line."""
     if not print_progress:
-        return pbar, (lambda *a, **kw: None)
-    if print_func is None:
-        print_func = print_fn
-    return pbar, print_func
+        return None, (lambda *a, **kw: None)
+    if print_func is not None:
+        return None, print_func
+    try:
+        printer = _TqdmPrinter()
+        return printer, printer
+    except ImportError:
+        return None, print_fn
