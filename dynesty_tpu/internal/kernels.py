@@ -185,7 +185,8 @@ def _sample_friends_union(key, arrays, q, ncdim, dtype, ftype):
 
 
 def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
-                    dtype=jnp.float64, max_waves=100000):
+                    dtype=jnp.float64, max_waves=100000,
+                    host_sampler=None):
     """Build the jitted uniform-sampling round.
 
     Returns ``fn(key, loglstar, bound_arrays) -> dict`` with per-slot
@@ -206,6 +207,15 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
             return u, jnp.ones((q,), dtype=bool)
         if bound_kind == "ellipsoids":
             return _sample_ellipsoid_union(key, arrays, q, ncdim, dtype)
+        if bound_kind == "custom":
+            # user-defined Bound: draw on the host (ordered so the host
+            # RNG stream stays deterministic)
+            from jax.experimental import io_callback
+
+            u = io_callback(
+                host_sampler,
+                jax.ShapeDtypeStruct((q, ncdim), dtype), ordered=True)
+            return u, jnp.ones((q,), dtype=bool)
         return _sample_friends_union(key, arrays, q, ncdim, dtype,
                                      bound_kind)
 

@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .fused import make_fused_round, select_starts, unpack_flat
 from .kernels import (make_rwalk_round, make_slice_round, make_unif_round,
                       pad_ellipsoids)
 
@@ -113,6 +114,94 @@ class InternalSampler:
         aggregated tuning_info or None)."""
         raise NotImplementedError
 
+    # -- fused propose+consume path ------------------------------------
+
+    def _build_propose_fn(self, nested_sampler, bound_kind):
+        """Traceable propose_fn(k_sel, k_prop, live, live_blob,
+        axes_args, scale, loglstar) for :func:`make_fused_round`."""
+        raise NotImplementedError
+
+    def get_fused(self, nested_sampler, bound_kind):
+        """(fused_fn, layout) for the current configuration, cached."""
+        ns = nested_sampler
+        cfg = ("fused", bound_kind, ns.queue_size, ns.nlive,
+               self._fused_cfg_key())
+        entry = self._round_cache.get(cfg)
+        if entry is None:
+            propose_fn = self._build_propose_fn(ns, bound_kind)
+            entry = make_fused_round(
+                propose_fn, kind=getattr(self, "name", "?"),
+                nlive=ns.nlive, ndim=self.ndim,
+                npdim=ns.loglikelihood.npdim, q=ns.queue_size,
+                dtype=ns.dtype, blob=ns.blob)
+            self._round_cache[cfg] = entry
+        return entry
+
+    def _fused_cfg_key(self):
+        return ()
+
+    def run_fused(self, nested_sampler, key, live_packed, live_blob,
+                  axes_args, integ, limits):
+        """Execute one fused round; returns the unpacked host dict plus
+        (old_blobs, new_live_blob) device trees."""
+        bound_kind = nested_sampler.device_bound_kind()
+        fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
+        ctrl = np.concatenate([integ, limits, [self.scale]])
+        flat, live_out, live_blob_out, old_blobs, qblob = fused_fn(
+            key, live_packed, live_blob, axes_args,
+            jnp.asarray(ctrl, nested_sampler.dtype))
+        out = unpack_flat(jax.device_get(flat), layout)
+        out["qblob"] = qblob
+        return out, live_out, live_blob_out, old_blobs
+
+    def get_replay(self, nested_sampler):
+        """Consume-only fused round: replays externally supplied
+        proposal entries (leftovers from an interrupted round)."""
+        ns = nested_sampler
+        cfg = ("replay", ns.queue_size, ns.nlive)
+        entry = self._round_cache.get(cfg)
+        if entry is None:
+            ndim = self.ndim
+            npdim = ns.loglikelihood.npdim
+            il = ndim + npdim
+
+            def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
+                        loglstar):
+                ent = axes_args
+                qblob = ent.get("qblob")
+                stats = (jnp.zeros((), ns.dtype),)
+                return (ent["prop"][:, :ndim], ent["prop"][:, ndim:il],
+                        ent["prop"][:, il],
+                        qblob,
+                        ent["prop"][:, il + 1].astype(jnp.int32), stats)
+
+            entry = make_fused_round(
+                propose, kind="replay", nlive=ns.nlive, ndim=ndim,
+                npdim=npdim, q=ns.queue_size, dtype=ns.dtype,
+                blob=ns.blob)
+            self._round_cache[cfg] = entry
+        return entry
+
+    def run_replay(self, nested_sampler, key, live_packed, live_blob,
+                   prop, prop_blob, integ, limits):
+        fused_fn, layout = self.get_replay(nested_sampler)
+        args = {"prop": prop}
+        if nested_sampler.blob:
+            args["qblob"] = prop_blob
+        ctrl = np.concatenate([integ, limits, [self.scale]])
+        flat, live_out, live_blob_out, old_blobs, qblob = fused_fn(
+            key, live_packed, live_blob, args,
+            jnp.asarray(ctrl, nested_sampler.dtype))
+        out = unpack_flat(jax.device_get(flat), layout)
+        out["stats"] = None
+        out["qblob"] = qblob
+        return out, live_out, live_blob_out, old_blobs
+
+    def consume_tuning(self, stats):
+        """Convert the fused round's stats vector into a tuning_info
+        dict (kernel specific); None if the kernel has no tuning."""
+        return None
+
     def tune(self, tuning_info, update=False):
         """Accumulate round statistics; apply the scale update if
         ``update``."""
@@ -152,11 +241,50 @@ def _unpack_rows(packed, blob, ndim, npdim, extra_names, stats_fn,
     return rows, extras
 
 
+def _unif_propose_fn(sampler, ns, bound_kind):
+    """Shared propose_fn builder for uniform-style kernels."""
+    like = ns.loglikelihood
+    ndim, ncdim, q = sampler.ndim, sampler.ncdim, ns.queue_size
+    npdim = like.npdim
+    il = ndim + npdim
+    if isinstance(sampler, UnitCubeSampler):
+        inner = make_unif_round(like, ndim=ndim, ncdim=ndim, q=q,
+                                bound_kind="cube", dtype=ns.dtype)
+    else:
+        def host_sampler():
+            pts = np.asarray(ns.bound.samples(q, rstate=ns.rstate))
+            return pts[:, :ncdim].astype(np.dtype(ns.dtype))
+
+        inner = make_unif_round(
+            like, ndim=ndim, ncdim=ncdim, q=q, bound_kind=bound_kind,
+            nonbounded=sampler.sampler_kwargs.get("nonbounded"),
+            dtype=ns.dtype, host_sampler=host_sampler)
+
+    def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
+                loglstar):
+        packed, blob_out = inner(k_prop, loglstar, axes_args)
+        qu = packed[:, :ndim]
+        qv = packed[:, ndim:il]
+        qlogl = packed[:, il]
+        nc_total = packed[0, il + 1].astype(jnp.int32)
+        base = nc_total // q
+        extra = nc_total - base * q
+        lane = jnp.arange(q)
+        qnc = base + (lane < extra)
+        stats = (packed[0, il + 1], packed[0, il + 2], packed[0, il + 3])
+        return qu, qv, qlogl, blob_out, qnc, stats
+
+    return propose
+
+
 class UnitCubeSampler(InternalSampler):
     """Rejection sampling from the whole unit cube (active before the
     first bound update)."""
 
     name = "unitcube"
+
+    def _build_propose_fn(self, ns, bound_kind):
+        return _unif_propose_fn(self, ns, "cube")
 
     def propose_round(self, nested_sampler, loglstar, q, key):
         like = nested_sampler.loglikelihood
@@ -232,6 +360,9 @@ class UniformBoundSampler(InternalSampler):
 
     _unif_rows = UnitCubeSampler._unif_rows
 
+    def _build_propose_fn(self, ns, bound_kind):
+        return _unif_propose_fn(self, ns, bound_kind)
+
 
 class RWalkSampler(InternalSampler):
     """Random walks within the scaled bounding ellipsoid ('rwalk')."""
@@ -279,6 +410,46 @@ class RWalkSampler(InternalSampler):
         }
         return rows, tuning_info
 
+    def _fused_cfg_key(self):
+        return (self.walks,)
+
+    def _build_propose_fn(self, ns, bound_kind):
+        like = ns.loglikelihood
+        ndim, ncdim, q = self.ndim, self.ncdim, ns.queue_size
+        npdim = like.npdim
+        il = ndim + npdim
+        inner = make_rwalk_round(
+            like, ndim=ndim, ncdim=ncdim, q=q, walks=self.walks,
+            nonbounded=self.sampler_kwargs.get("nonbounded"),
+            periodic=self.sampler_kwargs.get("periodic"),
+            reflective=self.sampler_kwargs.get("reflective"),
+            dtype=ns.dtype)
+        walks = self.walks
+
+        def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
+                    loglstar):
+            idxs, starts, axes = select_starts(
+                k_sel, live, il, q, bound_kind, axes_args, ns.dtype,
+                eye_dim=ncdim)
+            packed_in = jnp.concatenate(
+                [starts[:, :il + 1], axes.reshape(q, -1)], axis=1)
+            sblob = (jax.tree.map(lambda b: b[idxs], live_blob)
+                     if live_blob is not None else None)
+            packed, blob_out = inner(k_prop, packed_in, sblob, scale,
+                                     loglstar)
+            qu = packed[:, :ndim]
+            qv = packed[:, ndim:il]
+            qlogl = packed[:, il]
+            qnc = jnp.full((q,), walks, dtype=jnp.int32)
+            stats = (packed[:, il + 1].sum(), packed[:, il + 2].sum())
+            return qu, qv, qlogl, blob_out, qnc, stats
+
+        return propose
+
+    def consume_tuning(self, stats):
+        return {"accept": int(stats[0]), "reject": int(stats[1]),
+                "scale": self.scale}
+
     def tune(self, tuning_info, update=True):
         """Newton-like scale update toward the target acceptance rate
         (reference ``internal_samplers.py:460-493``)."""
@@ -306,6 +477,47 @@ class _SliceBase(InternalSampler):
         self.slice_history = {"n_expand": 0, "n_contract": 0}
         self.sampler_kwargs.setdefault("slice_doubling",
                                        kwargs.get("slice_doubling", False))
+
+    def _fused_cfg_key(self):
+        return (self.slices,
+                bool(self.sampler_kwargs.get("slice_doubling", False)))
+
+    def _build_propose_fn(self, ns, bound_kind):
+        like = ns.loglikelihood
+        ndim, q = self.ndim, ns.queue_size
+        npdim = like.npdim
+        il = ndim + npdim
+        kind = "slice" if isinstance(self, SliceSampler) else "rslice"
+        doubling = bool(self.sampler_kwargs.get("slice_doubling", False))
+        inner = make_slice_round(
+            like, ndim=ndim, q=q, slices=self.slices, kind=kind,
+            nonperiodic=self.sampler_kwargs.get("nonperiodic"),
+            doubling=doubling, dtype=ns.dtype)
+
+        def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
+                    loglstar):
+            idxs, starts, axes = select_starts(
+                k_sel, live, il, q, bound_kind, axes_args, ns.dtype,
+                eye_dim=ndim)
+            packed_in = jnp.concatenate(
+                [starts[:, :il + 1], axes.reshape(q, -1)], axis=1)
+            sblob = (jax.tree.map(lambda b: b[idxs], live_blob)
+                     if live_blob is not None else None)
+            packed, blob_out = inner(k_prop, packed_in, sblob, scale,
+                                     loglstar)
+            qu = packed[:, :ndim]
+            qv = packed[:, ndim:il]
+            qlogl = packed[:, il]
+            qnc = packed[:, il + 1].astype(jnp.int32)
+            stats = (packed[:, il + 2].sum(), packed[:, il + 3].sum(),
+                     packed[:, il + 4].max())
+            return qu, qv, qlogl, blob_out, qnc, stats
+
+        return propose
+
+    def consume_tuning(self, stats):
+        return {"n_expand": int(stats[0]), "n_contract": int(stats[1]),
+                "expansion_warning_set": bool(stats[2] > 0)}
 
     def tune(self, tuning_info, update=True):
         """Multiplicative scale update from the expansion/contraction

@@ -17,6 +17,7 @@ import sys
 import warnings
 
 import numpy as np
+import jax
 
 from .bounding import UnitCube, get_bound
 from .internal.samplers import UnitCubeSampler
@@ -27,6 +28,11 @@ from .utils.misc import (DelayTimer, IteratorResult, get_jax_key,
 from .utils.results import Results, RunRecord
 
 __all__ = ["Sampler", "initialize_live_points"]
+
+
+def _REPLAY_KEY():
+    import jax.random
+    return jax.random.key(0)
 
 
 def initialize_live_points(live_points, loglikelihood, nlive, ndim,
@@ -223,8 +229,10 @@ class Sampler:
         return restore_sampler(fname, pool=pool)
 
     def __getstate__(self):
+        self._ensure_live_mirror()
         state = self.__dict__.copy()
-        for k in ("pool", "mapper", "mesh"):
+        for k in ("pool", "mapper", "mesh", "_live_dev",
+                  "_live_blob_dev", "_bound_upload", "_mirror_stale"):
             state.pop(k, None)
         return state
 
@@ -255,6 +263,7 @@ class Sampler:
         ``bound_update_interval`` calls (checked at queue drains)."""
         if ncall is None:
             ncall = self.ncall
+        self._ensure_live_mirror()
         delta_bound = self.bound_update_interval
         call_check_first = ncall >= self.first_bound_update_ncall
         call_check = ncall >= delta_bound + self.ncall_at_last_update
@@ -294,6 +303,113 @@ class Sampler:
                 if not self.bound.contains(u_fit):
                     raise RuntimeError("Update of the bound failed")
                 break
+
+    # ------------------------------------------------------------------
+    # fused-round device state helpers
+
+    def device_bound_kind(self):
+        """Static bound kind for the jitted round ('cube' before the
+        first update / for UnitCube bounds)."""
+        if self.unit_cube_sampling:
+            return "cube"
+        spec = self.bound.device_spec()
+        if spec is None:
+            # user-defined Bound subclass: axes come from the host, and
+            # uniform sampling calls bound.samples() through io_callback
+            return "custom"
+        return spec[0]
+
+    def device_bound_arrays(self):
+        """Device upload of the active bound's arrays, cached per refit
+        (uploads are expensive on relayed devices)."""
+        import jax.numpy as jnp
+
+        from .internal.kernels import pad_ellipsoids
+
+        kind = self.device_bound_kind()
+        if kind == "cube":
+            return {}
+        if kind == "custom":
+            import jax.numpy as jnp
+            axes = np.asarray(self.bound.get_random_axes(self.rstate))
+            return {"axes": jnp.asarray(axes)}
+        cached = getattr(self, "_bound_upload", None)
+        if cached is not None and cached[0] == self.bound_version and \
+                cached[1] == kind:
+            dev = cached[2]
+        else:
+            _, arrays = self.bound.device_spec()
+            if kind == "ellipsoids":
+                arrays = pad_ellipsoids(arrays["ctrs"], arrays["axes"],
+                                        arrays["ams"], arrays["logvols"])
+            else:
+                arrays = dict(arrays)
+            dev = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self._bound_upload = (self.bound_version, kind, dev)
+        if kind in ("balls", "cubes"):
+            dev = dict(dev)
+            dev["ctrs"] = jnp.asarray(np.asarray(self.bound.ctrs))
+        return dev
+
+    def _live_packed(self):
+        """Pack the live mirrors into the fused round's (nlive, W) float
+        matrix: u | v | logl | it | bound."""
+        return np.concatenate([
+            self.live_u, self.live_v, self.live_logl[:, None],
+            self.live_it[:, None].astype(np.float64),
+            self.live_bound[:, None].astype(np.float64),
+        ], axis=1)
+
+    def _sync_live(self, live, bounditer):
+        """Write the downloaded live matrix back into the host mirrors,
+        resolving the device's -1 'current bound' marker."""
+        ndim, npdim = self.ndim, self.loglikelihood.npdim
+        self.live_u = np.array(live[:, :ndim], dtype=np.float64)
+        self.live_v = np.array(live[:, ndim:ndim + npdim],
+                               dtype=np.float64)
+        self.live_logl = np.array(live[:, ndim + npdim],
+                                  dtype=np.float64)
+        self.live_it = live[:, ndim + npdim + 1].astype(int)
+        lb = live[:, ndim + npdim + 2].astype(int)
+        lb[lb < 0] = bounditer
+        self.live_bound = lb
+
+    def _ensure_live_mirror(self):
+        """Refresh the host live mirrors from the device-resident state
+        (live points stay on device between fused rounds)."""
+        if getattr(self, "_mirror_stale", False):
+            import jax
+
+            live = jax.device_get(self._live_dev)
+            self._sync_live(live, self._mirror_bounditer)
+            if self.blob and self._live_blob_dev is not None:
+                import jax as _jax
+
+                blobs = _jax.device_get(self._live_blob_dev)
+                self.live_blobs = [
+                    _jax.tree.map(lambda b: b[i], blobs)
+                    for i in range(self.nlive)
+                ]
+            self._mirror_stale = False
+
+    def _check_live_in_bound(self):
+        """Force a refit when live points escaped the bound (the fused
+        analogue of per-start containment checks,
+        reference ``sampler.py:483-491``)."""
+        if self.unit_cube_sampling:
+            return
+        if self.bound.need_centers:
+            self.bound.ctrs = self.live_u
+        escaped = any(
+            not self.bound.contains(u[:self.ncdim]) for u in self.live_u)
+        if escaped:
+            self.update_bound_if_needed(-np.inf, force=True)
+            if self.bound.need_centers:
+                self.bound.ctrs = self.live_u
+            still = any(not self.bound.contains(u[:self.ncdim])
+                        for u in self.live_u)
+            if still:
+                raise RuntimeError("Update of the bound failed")
 
     # ------------------------------------------------------------------
     # proposal queue
@@ -413,98 +529,220 @@ class Sampler:
                 for k in ("h", "logz", "logzvar", "logvol", "logl")
             ]
 
-        stop_iterations = False
-        for it in range(sys.maxsize):
-            delta_logz = np.logaddexp(
-                0, np.max(self.live_logl) + logvol - logz)
+        # -------- fused round loop: the whole per-iteration shell runs
+        # on device (see internal/fused.py); live points stay device
+        # resident between rounds.  Leftover proposals and pending
+        # records are pickled so interrupted runs resume bit-exactly.
+        import jax.numpy as jnp
 
-            if it > maxiter or ncall > maxcall:
-                stop_iterations = True
-                if dlogz is not None and delta_logz > 10 * dlogz:
-                    warnings.warn(
-                        "Sampling stopped short by maxiter/maxcall before "
-                        "reaching the dlogz criterion; posterior may be "
-                        "poorly sampled.")
-            if dlogz is not None and delta_logz < dlogz:
-                stop_iterations = True
-            if loglstar > logl_max:
-                stop_iterations = True
-            if np.ptp(self.live_logl) == 0:
-                warnings.warn("A likelihood plateau was reached; stopping "
-                              "the run.")
-                stop_iterations = True
-            if stop_iterations:
+        from .utils.misc import get_jax_key as _get_key
+
+        npdim = self.loglikelihood.npdim
+        ndim = self.ndim
+        rec_off = 1 + ndim + npdim
+        dlogz_eff = -np.inf if dlogz is None else dlogz
+        accepted_this_call = 0
+        terminal_break = False
+
+        if getattr(self, "_integ", None) is not None and resume:
+            st = self._integ
+            logz, logzvar = st["logz"], st["logzvar"]
+            h, logvol, loglstar = st["h"], st["logvol"], st["loglstar"]
+        if not hasattr(self, "_pending_records"):
+            self._pending_records = []
+        if not hasattr(self, "_leftover"):
+            self._leftover = None
+        self._live_dev = getattr(self, "_live_dev", None)
+        self._live_blob_dev = getattr(self, "_live_blob_dev", None)
+        self._mirror_stale = getattr(self, "_mirror_stale", False)
+
+        # f32 cannot represent the -1e300 sentinel: clamp to -1e30
+        def _clamp(x):
+            return np.maximum(x, -1e30)
+
+        def _integ_vec():
+            # [logz, logzvar, h, logvol, loglstar, plateau_mode,
+            #  plateau_counter, plateau_logdvol, it]
+            return np.array([
+                _clamp(logz), logzvar, h, logvol, _clamp(loglstar),
+                float(bool(self.plateau_mode)),
+                float(self.plateau_counter or 0),
+                float(self.plateau_logdvol or 0.0),
+                float(self.it),
+            ])
+
+        def _limits_vec():
+            # [dlogz, logl_max, max_accepts, max_nc]; caps clamped to
+            # 2**30 (exactly representable in float32)
+            return np.array([
+                float(dlogz_eff), float(logl_max),
+                float(min(maxiter - accepted_this_call, 2**30)),
+                float(min(maxcall - ncall, 2**30)),
+            ])
+
+        def _upload_live():
+            if self._live_dev is None:
+                packed = self._live_packed()
+                packed[:, ndim + npdim] = _clamp(packed[:, ndim + npdim])
+                self._live_dev = jnp.asarray(packed, self.dtype)
+                if self.blob:
+                    self._live_blob_dev = jax.tree.map(
+                        lambda *bs: jnp.asarray(np.stack(bs)),
+                        *self.live_blobs)
+
+        while True:
+            # ---- drain pending (already-computed) records
+            while self._pending_records:
+                row = self._pending_records.pop(0)
+                self.saved_run.append(row["saved"])
+                accepted_this_call += 1
+                ncall += row["saved"]["nc"]
+                yield IteratorResult(**row["iter"])
+            if terminal_break:
+                break
+            if accepted_this_call >= maxiter or ncall >= maxcall:
+                warnings.warn(
+                    "Sampling stopped short by maxiter/maxcall before "
+                    "reaching the dlogz criterion; posterior may be "
+                    "poorly sampled.")
                 break
 
-            worst = int(np.argmin(self.live_logl))
-            worst_it = self.live_it[worst]
-            boundidx = self.live_bound[worst]
+            bounditer = self.nbound - 1 if not self.unit_cube_sampling \
+                else 0
+            integ = _integ_vec()
+            limits = _limits_vec()
 
-            if not self.plateau_mode:
-                nplateau = (self.live_logl == self.live_logl[worst]).sum()
-                if nplateau > 1:
-                    # likelihood plateau: spread the current volume evenly
-                    # over the plateau points (Fowlie et al. 2020)
-                    self.plateau_mode = True
-                    self.plateau_counter = nplateau
-                    self.plateau_logdvol = (
-                        np.log(1.0 / (self.nlive + 1)) + logvol)
-            if not self.plateau_mode:
-                cur_dlv = self.dlv
+            if self._leftover is not None:
+                # consume-only replay of an interrupted round's tail;
+                # no RNG draw (bit-exact resume)
+                import jax.random as _jr
+
+                key = _jr.key(0)
+                _upload_live()
+                prop = self._leftover["prop"]
+                n_real = len(prop)
+                qsz = self.queue_size
+                pad = np.zeros((qsz - n_real, prop.shape[1]))
+                pad[:, ndim + npdim] = -1e30
+                prop_padded = jnp.asarray(
+                    np.concatenate([prop, pad]), self.dtype)
+                pblob = self._leftover.get("blob")
+                if pblob is not None:
+                    pb_pad = jax.tree.map(
+                        lambda b: jnp.asarray(np.concatenate(
+                            [b, np.zeros((qsz - n_real,) + b.shape[1:],
+                                         b.dtype)])), pblob)
+                else:
+                    pb_pad = None
+                out, live_out, live_blob_out, old_blobs_dev = \
+                    self.internal_sampler.run_replay(
+                        self, key, self._live_dev, self._live_blob_dev,
+                        prop_padded, pb_pad, integ, limits)
+                n_real_limit = n_real
             else:
-                cur_dlv = -np.log1p(
-                    -np.exp(self.plateau_logdvol - logvol))
-            assert cur_dlv > 0
-            logvol -= cur_dlv
+                # round boundary: refit triggers (syncs live mirrors)
+                loglstar_round = max(loglstar, np.float64(LOWL_VAL))
+                self.update_bound_if_needed(loglstar_round,
+                                            ncall=self.ncall)
+                bounditer = self.nbound - 1 \
+                    if not self.unit_cube_sampling else 0
+                axes_args = self.device_bound_arrays()
+                key = _get_key(self.rstate)
+                _upload_live()
+                out, live_out, live_blob_out, old_blobs_dev = \
+                    self.internal_sampler.run_fused(
+                        self, key, self._live_dev, self._live_blob_dev,
+                        axes_args, integ, limits)
+                n_real_limit = self.queue_size
 
-            ustar = self.live_u[worst].copy()
-            vstar = self.live_v[worst].copy()
-            loglstar_new = self.live_logl[worst]
-            old_blob = (copy.copy(self.live_blobs[worst])
-                        if self.blob else None)
+            # ---- leftover bookkeeping (checkpoint-exact resume)
+            n_cons = min(out["n_consumed"], n_real_limit)
+            if n_cons < n_real_limit:
+                props = out["proposals"][n_cons:n_real_limit]
+                lo = {"prop": np.array(props, dtype=np.float64)}
+                if self.blob:
+                    all_blob = jax.device_get(out["qblob"])
+                    lo["blob"] = jax.tree.map(
+                        lambda b: np.asarray(b)[n_cons:n_real_limit],
+                        all_blob)
+                self._leftover = lo
+            else:
+                self._leftover = None
 
-            u, v, logl, nc, new_blob, proposal_stats = \
-                self._new_point(loglstar_new)
-            ncall += nc
-            self.ncall += nc
-
-            logwt, logz, logzvar, h = progress_integration(
-                loglstar, loglstar_new, logz, logzvar, logvol, cur_dlv, h)
-            loglstar = loglstar_new
-
-            bounditer = self.nbound - 1 if not self.unit_cube_sampling else 0
-
-            self.saved_run.append(
-                dict(id=worst, u=ustar, v=vstar, logl=loglstar,
-                     logvol=logvol, logwt=logwt, logz=logz,
-                     logzvar=logzvar, h=h, nc=nc, it=worst_it,
-                     bounditer=bounditer, boundidx=boundidx,
-                     scale=self.internal_sampler.scale, blob=old_blob,
-                     proposal_stats=proposal_stats))
-
-            self.live_u[worst] = u
-            self.live_v[worst] = v
-            self.live_logl[worst] = logl
-            self.live_bound[worst] = bounditer
-            self.live_it[worst] = self.it
+            # ---- adopt the device-side state
+            self._live_dev = live_out
+            self._live_blob_dev = live_blob_out
+            self._mirror_stale = True
+            self._mirror_bounditer = bounditer
             if self.blob:
-                self.live_blobs[worst] = new_blob
-            self.eff = 100.0 * self.it / self.ncall
-            self.it += 1
+                old_blobs = jax.device_get(old_blobs_dev)
+            ig = out["integ"]
+            logz, logzvar = float(ig["logz"]), float(ig["logzvar"])
+            h, logvol = float(ig["h"]), float(ig["logvol"])
+            loglstar = float(ig["loglstar"])
+            self.plateau_mode = ig["plateau_mode"]
+            self.plateau_counter = ig["plateau_counter"]
+            self.plateau_logdvol = float(ig["plateau_logdvol"])
+            self.it = ig["it"]
+            self._integ = dict(logz=logz, logzvar=logzvar, h=h,
+                               logvol=logvol, loglstar=loglstar)
+            nc_round = out["nc_used"]
+            self.ncall += nc_round
+            staged_nc = int(np.sum(
+                out["records"][out["accepts"], rec_off + 6]))
+            ncall += nc_round - staged_nc  # discarded entries' calls
+            self.eff = 100.0 * (self.it - 1) / max(self.ncall, 1)
 
-            if self.plateau_mode:
-                self.plateau_counter -= 1
-                if self.plateau_counter == 0:
-                    self.plateau_mode = False
+            # tuning once per round (the queue-drain cadence)
+            if out["stats"] is not None and not self.unit_cube_sampling:
+                tinfo = self.internal_sampler.consume_tuning(out["stats"])
+                if tinfo is not None:
+                    self.internal_sampler.tune(tinfo, update=True)
 
-            yield IteratorResult(worst=worst, ustar=ustar, vstar=vstar,
-                                 loglstar=loglstar, logvol=logvol,
-                                 logwt=logwt, logz=logz, logzvar=logzvar,
-                                 h=h, nc=nc, blob=old_blob,
-                                 worst_it=worst_it, boundidx=boundidx,
-                                 bounditer=bounditer, eff=self.eff,
-                                 delta_logz=delta_logz,
-                                 proposal_stats=proposal_stats)
+            # terminal stop reasons reported by the device round:
+            # 1=dlogz, 2=logl_max, 4=live plateau, 8/16=max iter/calls
+            reason = out["done_reason"]
+            if reason & 0b00111:
+                if reason & 0b00100:
+                    warnings.warn("A likelihood plateau was reached; "
+                                  "stopping the run.")
+                terminal_break = True
+
+            # ---- stage the accepted records as pending rows
+            recs = np.asarray(out["records"], dtype=np.float64)
+            accepts = out["accepts"]
+            scale_now = self.internal_sampler.scale
+            acc_idx = np.nonzero(accepts)[0]
+            tail = recs[acc_idx, rec_off:rec_off + 9]
+            dlz = out["delta_logz"]
+            for j, i in enumerate(acc_idx):
+                row = recs[i]
+                worst = int(row[0])
+                ustar = row[1:1 + ndim]
+                vstar = row[1 + ndim:rec_off]
+                (r_logl, r_logvol, r_logwt, r_logz, r_logzvar, r_h,
+                 r_nc, r_it, r_bidx) = tail[j]
+                boundidx = int(r_bidx) if r_bidx >= 0 else bounditer
+                old_blob = (jax.tree.map(lambda b: b[i], old_blobs)
+                            if self.blob else None)
+                saved = dict(id=worst, u=ustar, v=vstar, logl=r_logl,
+                             logvol=r_logvol, logwt=r_logwt, logz=r_logz,
+                             logzvar=r_logzvar, h=r_h, nc=int(r_nc),
+                             it=int(r_it), bounditer=bounditer,
+                             boundidx=boundidx, scale=scale_now,
+                             blob=old_blob, proposal_stats=None)
+                itres = dict(
+                    worst=worst, ustar=ustar, vstar=vstar,
+                    loglstar=r_logl, logvol=r_logvol, logwt=r_logwt,
+                    logz=r_logz, logzvar=r_logzvar, h=r_h, nc=int(r_nc),
+                    blob=old_blob, worst_it=int(r_it),
+                    boundidx=boundidx, bounditer=bounditer,
+                    eff=self.eff, delta_logz=float(dlz[i]),
+                    proposal_stats=None)
+                self._pending_records.append(
+                    {"saved": saved, "iter": itres})
+
+        self._ensure_live_mirror()
 
     def add_live_points(self):
         """Recycle the final live points as dead points over the remaining
@@ -512,6 +750,7 @@ class Sampler:
         if self.added_live:
             raise ValueError("The remaining live points have already "
                              "been added to the list of samples!")
+        self._ensure_live_mirror()
         self.added_live = True
         if len(self.saved_run["logz"]) > 0:
             logz = self.saved_run["logz"][-1]
