@@ -1,0 +1,161 @@
+"""Miscellaneous regression tests (patterns of reference
+``tests/test_misc.py``): batch edge cases, update_interval semantics,
+exception propagation, first_update, results conversions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dynesty_tpu as dytpu
+
+from utils import get_rstate
+
+NDIM = 3
+LOGZ_TRUTH = NDIM * (-np.log(20.0))
+
+
+def _gau():
+    cov = np.identity(NDIM)
+    cov[cov == 0] = 0.95
+    cinv = np.linalg.inv(cov)
+    lnorm = -0.5 * (np.log(2 * np.pi) * NDIM +
+                    np.log(np.linalg.det(cov)))
+
+    def loglike(x):
+        return -0.5 * jnp.dot(x, jnp.asarray(cinv) @ x) + lnorm
+
+    def ptform(u):
+        return 10.0 * (2.0 * u - 1.0)
+
+    return loglike, ptform
+
+
+def test_maxiter_mid_batch():
+    # interrupting a batch via maxiter must not corrupt the combined run
+    # (reference issue #392, test_misc.py:474-509)
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                     bound="single", sample="unif",
+                                     rstate=rstate, queue_size=32)
+    dns.run_nested(nlive_init=120, maxbatch=0, print_progress=False)
+    niter0 = dns.results.niter
+    dns.add_batch(nlive=80, maxiter=50, print_progress=False)
+    res = dns.results
+    assert res.niter > niter0
+    assert np.isfinite(res.logz[-1])
+    assert np.all(np.diff(res.logl) >= 0)
+
+
+def test_batch_cost_stability():
+    # repeated 'full' batches should cost comparably (reference #415,
+    # test_misc.py:511-536)
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                     bound="single", sample="unif",
+                                     rstate=rstate, queue_size=64)
+    dns.run_nested(nlive_init=150, maxbatch=0, print_progress=False)
+    costs = []
+    for _ in range(5):
+        nc0 = dns.ncall
+        dns.add_batch(nlive=100, mode="manual",
+                      logl_bounds=(-np.inf, np.inf),
+                      print_progress=False)
+        costs.append(dns.ncall - nc0)
+    assert max(costs) / min(costs) < 3, costs
+
+
+def test_nlive_mismatch_batches():
+    # batches with nlive different from the baseline merge correctly
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                     bound="single", sample="unif",
+                                     rstate=rstate, queue_size=32)
+    dns.run_nested(nlive_init=200, maxbatch=0, print_progress=False)
+    dns.add_batch(nlive=37, print_progress=False)
+    dns.add_batch(nlive=151, print_progress=False)
+    res = dns.results
+    assert abs(res.logz[-1] - LOGZ_TRUTH) < 5 * res.logzerr[-1]
+    assert np.all(np.diff(res.logl) >= 0)
+    assert set(np.unique(res.samples_batch)) == {0, 1, 2}
+
+
+def test_first_update():
+    # forcing a very early first update switches off cube sampling fast
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(
+        loglike, ptform, NDIM, nlive=120, bound="single", sample="unif",
+        first_update={"min_ncall": 10, "min_eff": 100.0},
+        rstate=rstate, queue_size=32)
+    sampler.run_nested(maxiter=300, print_progress=False)
+    assert not sampler.unit_cube_sampling
+    assert sampler.nbound > 1
+
+    with pytest.raises(ValueError):
+        dytpu.NestedSampler(loglike, ptform, NDIM,
+                            first_update={"bogus_key": 1})
+
+
+def test_update_interval_semantics():
+    # small update_interval => more bound refits
+    loglike, ptform = _gau()
+    nbounds = []
+    for interval in (0.2, 10.0):
+        rstate = get_rstate()
+        sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=150,
+                                      bound="single", sample="unif",
+                                      update_interval=interval,
+                                      rstate=rstate, queue_size=32)
+        sampler.run_nested(print_progress=False)
+        nbounds.append(sampler.nbound)
+    assert nbounds[0] > nbounds[1]
+
+
+def test_exception_propagation():
+    # user exceptions inside the (host-mode) likelihood surface cleanly
+    def bad_logl(x):
+        raise RuntimeError("user kaboom")
+
+    def ptform(u):
+        return u
+
+    with pytest.raises(RuntimeError, match="user kaboom"):
+        dytpu.NestedSampler(bad_logl, ptform, 2, nlive=50,
+                            likelihood_mode="host")
+
+
+def test_ncdim_slice_ban():
+    loglike, ptform = _gau()
+    with pytest.raises(ValueError):
+        dytpu.NestedSampler(loglike, ptform, NDIM, ncdim=2,
+                            sample="rslice")
+
+
+def test_check_result_static():
+    from dynesty_tpu.utils import check_result_static
+
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                     bound="single", sample="unif",
+                                     rstate=rstate, queue_size=32)
+    dns.run_nested(nlive_init=120, maxbatch=0, print_progress=False)
+    res = check_result_static(dns.results)
+    # baseline-only dynamic run has a constant nlive profile
+    assert not res.isdynamic()
+    assert res["nlive"] == 120
+
+
+def test_unused_reference_kwargs_accepted():
+    # use_pool and pool are part of the reference API surface
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(
+        loglike, ptform, NDIM, nlive=100, bound="single", sample="unif",
+        use_pool={"loglikelihood": True}, pool=None, rstate=rstate,
+        queue_size=32)
+    sampler.run_nested(maxiter=100, print_progress=False)
+    assert np.isfinite(sampler.results.logz[-1])
