@@ -707,7 +707,19 @@ def _friends_bootstrap_radius(args):
 
 
 def _friends_leaveoneout_radius(points, ftype):
-    """Leave-one-out nearest-neighbor distance of each point."""
+    """Leave-one-out nearest-neighbor distance of each point.
+
+    Large point sets route to the device (a Pallas kernel rides the MXU
+    for the Euclidean case); small ones stay on the host where a brute
+    force is cheaper than a dispatch."""
+    if len(points) >= 2048:
+        import jax
+
+        from .ops.pallas_kernels import pairwise_min_dist
+
+        p = 2 if ftype == "balls" else np.inf
+        return np.asarray(jax.device_get(
+            pairwise_min_dist(np.asarray(points, np.float32), p=p)))
     d = _pairwise_dist(points, points, ftype)
     np.fill_diagonal(d, np.inf)
     return d.min(axis=1)

@@ -158,3 +158,17 @@ def test_mle_cov():
     x = rstate.normal(size=(2000, 3))
     c = mle_cov(x)
     assert np.allclose(c, np.cov(x, rowvar=False), atol=0.05)
+
+
+def test_pallas_pairwise_min_dist():
+    from dynesty_tpu.ops.pallas_kernels import (pairwise_min_dist,
+                                                pairwise_min_dist_reference)
+
+    rstate = get_rstate()
+    pts = rstate.normal(size=(300, 8)).astype(np.float32)
+    ref = np.asarray(pairwise_min_dist_reference(pts, p=2))
+    got = np.asarray(pairwise_min_dist(pts, p=2, interpret=True))
+    assert np.abs(got - ref).max() < 1e-5
+    gotinf = np.asarray(pairwise_min_dist(pts, p=np.inf))
+    refinf = np.asarray(pairwise_min_dist_reference(pts, p=np.inf))
+    assert np.abs(gotinf - refinf).max() < 1e-6
