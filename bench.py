@@ -28,6 +28,7 @@ REF_SECONDS = 101.6  # reference dynesty, same problem, this host (CPU)
 NDIM = 25
 NLIVE = 500
 QUEUE = 256
+ROUNDS = 4  # fused rounds per device dispatch (amortizes relay latency)
 SEED = 56432
 TRUTH = -NDIM * np.log(20.0)
 
@@ -88,7 +89,8 @@ def main():
     rstate = np.random.Generator(np.random.PCG64(1))
     warm = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=NLIVE,
                                bound="single", sample="rslice",
-                               rstate=rstate, queue_size=QUEUE)
+                               rstate=rstate, queue_size=QUEUE,
+                               rounds_per_dispatch=ROUNDS)
     warm.run_nested(maxiter=QUEUE + 1, print_progress=False,
                     add_live=False)
 
@@ -96,7 +98,8 @@ def main():
     t0 = time.time()
     sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=NLIVE,
                                   bound="single", sample="rslice",
-                                  rstate=rstate, queue_size=QUEUE)
+                                  rstate=rstate, queue_size=QUEUE,
+                                  rounds_per_dispatch=ROUNDS)
     sampler.run_nested(print_progress=False)
     elapsed = time.time() - t0
     res = sampler.results

@@ -15,14 +15,11 @@ callables are evaluated —
 the analogue of the reference's pool queue).
 """
 
-import math
-
 import numpy as np
 
 from .bounding import get_bound  # noqa: F401  (re-export)
 from .internal.likelihood import LogLikelihood
-from .internal.samplers import (InternalSampler, UniformBoundSampler,
-                                get_internal_sampler)
+from .internal.samplers import UniformBoundSampler, get_internal_sampler
 from .sampler import Sampler, initialize_live_points
 from .utils.misc import get_random_generator
 
@@ -186,7 +183,7 @@ class NestedSampler(Sampler):
                  ptform_args=None, ptform_kwargs=None, enlarge=None,
                  bootstrap=None, walks=None, facc=0.5, slices=None,
                  ncdim=None, blob=False, likelihood_mode="jax",
-                 mesh=None,
+                 mesh=None, rounds_per_dispatch=1,
                  save_evaluation_history=False, history_filename=None):
         cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
                            bound, sample, periodic, reflective, walks, facc,
@@ -214,7 +211,8 @@ class NestedSampler(Sampler):
             blob=blob,
             logvol_init=logvol_init,
             cite=cfg["cite"]("static"),
-            mesh=mesh)
+            mesh=mesh,
+            rounds_per_dispatch=rounds_per_dispatch)
         self.ncall = init_ncalls
         self.pool = pool
 

@@ -41,7 +41,7 @@ def record_columns(ndim, npdim):
 
 
 def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
-                     blob=False):
+                     blob=False, rounds=1):
     """Wrap a proposal round into a fused propose+consume device call.
 
     The consume scan carries only the live log-likelihood vector and an
@@ -49,6 +49,13 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
     entry currently occupying it); full record rows, the updated live
     matrix and blob buffers are assembled vectorized after the scan, so
     the sequential part stays tiny.
+
+    ``rounds > 1`` chains several propose+consume rounds inside ONE
+    device call (amortizing fixed dispatch/transfer costs on relayed
+    devices); bound refits and scale tuning then happen every ``rounds``
+    queue refills.  Counters, the nc accumulator and the done flag carry
+    across the inner rounds, so the result is exactly ``rounds``
+    consecutive rounds without host involvement.
 
     Returned jitted function::
 
@@ -66,30 +73,16 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
     dlv_default = float(np.log1p(1.0 / nlive))
     plateau_base = float(np.log(1.0 / (nlive + 1)))
 
-    def fused(key, live, live_blob, axes_args, ctrl):
-        integ = {
-            "logz": ctrl[0], "logzvar": ctrl[1], "h": ctrl[2],
-            "logvol": ctrl[3], "loglstar": ctrl[4],
-            "plateau_mode": ctrl[5] > 0.5,
-            "plateau_counter": ctrl[6].astype(jnp.int32),
-            "plateau_logdvol": ctrl[7],
-            "it": ctrl[8].astype(jnp.int32),
-        }
-        limits = {
-            "dlogz": ctrl[9], "logl_max": ctrl[10],
-            "max_accepts": ctrl[11].astype(jnp.int32),
-            "max_nc": ctrl[12].astype(jnp.int32),
-        }
-        scale = ctrl[13]
-        k_sel, k_prop = jax.random.split(key)
+    def one_round(rkey, live, live_blob, integ, counters, limits, scale,
+                  axes_args):
+        """One propose+consume round; counters/done flow in and out."""
+        k_sel, k_prop = jax.random.split(rkey)
         live_logl0 = live[:, il]
         loglstar0 = jnp.min(live_logl0)
 
-        # -- proposal phase ----------------------------------------------
         qu, qv, qlogl, qblob, qnc, stats = propose_fn(
             k_sel, k_prop, live, live_blob, axes_args, scale, loglstar0)
 
-        # -- consume scan (lightweight carry) ----------------------------
         it0 = integ["it"]
 
         def body(carry, entry):
@@ -173,8 +166,9 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                 integ["logvol"], integ["loglstar"],
                 integ["plateau_mode"], integ["plateau_counter"],
                 integ["plateau_logdvol"],
-                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                jnp.asarray(False), jnp.int32(0))
+                counters["n_acc"], counters["n_cons"],
+                counters["nc_accum"], counters["nc_used"],
+                counters["done"], counters["reason"])
         lanes = jnp.arange(q, dtype=jnp.int32)
         carry, outs = jax.lax.scan(body, init, (lanes, qlogl, qnc))
         (live_logl_f, occupant_f, logz, logzvar, h, logvol, loglstar,
@@ -185,10 +179,8 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
 
         # -- vectorized record/live assembly -----------------------------
         acc_before = jnp.cumsum(accepts.astype(jnp.int32)) - accepts
-        entry_it = (it0 + acc_before).astype(dtype)  # it when entry i
-        # was accepted into the live set
+        entry_it = (it0 + acc_before).astype(dtype)
 
-        # dead-point coordinates: original live row or an earlier entry
         from_orig = srcs < 0
         u_dead = jnp.where(from_orig[:, None], live[worsts, :ndim],
                            qu[jnp.maximum(srcs, 0)])
@@ -213,7 +205,6 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         else:
             old_blobs = None
 
-        # new live matrix: last accepted entry per slot wins
         idx = jnp.where(accepts, worsts, nlive)
         last = jnp.full((nlive,), -1, jnp.int32).at[idx].max(
             lanes, mode="drop")
@@ -233,21 +224,83 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         else:
             live_blob_out = None
 
-        # -- flat pack (one fetch) ---------------------------------------
-        integ_vec = jnp.stack([
-            logz, logzvar, h, logvol, loglstar, p_mode.astype(dtype),
-            p_counter.astype(dtype), p_logdvol,
-            (it0 + n_acc).astype(dtype),
-        ])
-        info_vec = jnp.stack([
-            n_acc.astype(dtype), nc_used.astype(dtype),
-            done.astype(dtype), n_cons.astype(dtype),
-            reason.astype(dtype),
-        ])
+        integ_out = {
+            "logz": logz, "logzvar": logzvar, "h": h, "logvol": logvol,
+            "loglstar": loglstar, "plateau_mode": p_mode,
+            "plateau_counter": p_counter, "plateau_logdvol": p_logdvol,
+            "it": it0 + (n_acc - counters["n_acc"]),
+        }
+        counters_out = {
+            "n_acc": n_acc, "n_cons": n_cons, "nc_accum": nc_accum,
+            "nc_used": nc_used, "done": done, "reason": reason,
+        }
         stats_vec = jnp.zeros((4,), dtype).at[:len(stats)].set(
             jnp.stack([jnp.asarray(sv, dtype) for sv in stats]))
         proposals = jnp.concatenate(
             [qu, qv, qlogl[:, None], qnc.astype(dtype)[:, None]], axis=1)
+        round_out = (recs, accepts, r_dlogz, proposals, stats_vec,
+                     old_blobs, qblob)
+        return live_out, live_blob_out, integ_out, counters_out, round_out
+
+    def fused(key, live, live_blob, axes_args, ctrl):
+        integ = {
+            "logz": ctrl[0], "logzvar": ctrl[1], "h": ctrl[2],
+            "logvol": ctrl[3], "loglstar": ctrl[4],
+            "plateau_mode": ctrl[5] > 0.5,
+            "plateau_counter": ctrl[6].astype(jnp.int32),
+            "plateau_logdvol": ctrl[7],
+            "it": ctrl[8].astype(jnp.int32),
+        }
+        limits = {
+            "dlogz": ctrl[9], "logl_max": ctrl[10],
+            "max_accepts": ctrl[11].astype(jnp.int32),
+            "max_nc": ctrl[12].astype(jnp.int32),
+        }
+        scale = ctrl[13]
+        counters = {
+            "n_acc": jnp.int32(0), "n_cons": jnp.int32(0),
+            "nc_accum": jnp.int32(0), "nc_used": jnp.int32(0),
+            "done": jnp.asarray(False), "reason": jnp.int32(0),
+        }
+
+        def round_step(carry, rkey):
+            live, live_blob, integ, counters = carry
+            live, live_blob, integ, counters, round_out = one_round(
+                rkey, live, live_blob, integ, counters, limits, scale,
+                axes_args)
+            return (live, live_blob, integ, counters), round_out
+
+        rkeys = jax.random.split(key, rounds)
+        (live, live_blob, integ, counters), stacked = jax.lax.scan(
+            round_step, (live, live_blob, integ, counters), rkeys)
+        (recs, accepts, r_dlogz, proposals, stats_vecs, old_blobs,
+         qblobs) = stacked
+        recs = recs.reshape(rounds * q, -1)
+        accepts = accepts.reshape(rounds * q)
+        r_dlogz = r_dlogz.reshape(rounds * q)
+        proposals = proposals.reshape(rounds * q, -1)
+        stats_vec = stats_vecs.sum(axis=0)
+        if old_blobs is not None:
+            old_blobs = jax.tree.map(
+                lambda b: b.reshape((rounds * q,) + b.shape[2:]),
+                old_blobs)
+            qblobs = jax.tree.map(
+                lambda b: b.reshape((rounds * q,) + b.shape[2:]), qblobs)
+
+        integ_vec = jnp.stack([
+            integ["logz"], integ["logzvar"], integ["h"], integ["logvol"],
+            integ["loglstar"], integ["plateau_mode"].astype(dtype),
+            integ["plateau_counter"].astype(dtype),
+            integ["plateau_logdvol"],
+            (ctrl[8].astype(jnp.int32) + counters["n_acc"]).astype(dtype),
+        ])
+        info_vec = jnp.stack([
+            counters["n_acc"].astype(dtype),
+            counters["nc_used"].astype(dtype),
+            counters["done"].astype(dtype),
+            counters["n_cons"].astype(dtype),
+            counters["reason"].astype(dtype),
+        ])
         flat = jnp.concatenate([
             recs.astype(dtype).ravel(),
             integ_vec.astype(dtype),
@@ -257,17 +310,17 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             r_dlogz.astype(dtype),
             proposals.astype(dtype).ravel(),
         ])
-        return flat, live_out, live_blob_out, old_blobs, qblob
+        return flat, live, live_blob, old_blobs, qblobs
 
     fused_jit = jax.jit(fused)
     width = 1 + ndim + npdim + 9
     layout = {
-        "rec_shape": (q, width),
-        "prop_shape": (q, ndim + npdim + 2),
+        "rec_shape": (rounds * q, width),
+        "prop_shape": (rounds * q, ndim + npdim + 2),
         "n_integ": 9,
         "n_info": 5,
         "n_stats": 4,
-        "q": q,
+        "q": rounds * q,
         "ndim": ndim,
         "npdim": npdim,
     }

@@ -58,11 +58,12 @@ def _wrap_boundaries(u, periodic_mask, reflective_mask):
 
 def _masked_eval(like, u, incube):
     """Evaluate the batched likelihood at ``u`` (clamped into the cube for
-    safety) and mask out-of-cube lanes to -inf."""
+    safety) and mask out-of-cube lanes to -inf.  Outputs are cast to the
+    kernel's dtype (the wrapper may run at a different precision)."""
     uc = jnp.clip(u, 0.0, 1.0)
     v, logl, blob = like.batch_eval(uc)
-    logl = jnp.where(incube, logl, _NEG_INF)
-    return v, logl, blob
+    logl = jnp.where(incube, logl, _NEG_INF).astype(u.dtype)
+    return v.astype(u.dtype), logl, blob
 
 
 def _zeros_like_batch(like, q, ndim, dtype):

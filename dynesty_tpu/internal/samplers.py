@@ -124,7 +124,8 @@ class InternalSampler:
     def get_fused(self, nested_sampler, bound_kind):
         """(fused_fn, layout) for the current configuration, cached."""
         ns = nested_sampler
-        cfg = ("fused", bound_kind, ns.queue_size, ns.nlive,
+        rounds = getattr(ns, "rounds_per_dispatch", 1)
+        cfg = ("fused", bound_kind, ns.queue_size, ns.nlive, rounds,
                self._fused_cfg_key())
         entry = self._round_cache.get(cfg)
         if entry is None:
@@ -133,7 +134,7 @@ class InternalSampler:
                 propose_fn, kind=getattr(self, "name", "?"),
                 nlive=ns.nlive, ndim=self.ndim,
                 npdim=ns.loglikelihood.npdim, q=ns.queue_size,
-                dtype=ns.dtype, blob=ns.blob)
+                dtype=ns.dtype, blob=ns.blob, rounds=rounds)
             self._round_cache[cfg] = entry
         return entry
 

@@ -21,7 +21,7 @@ try:
 except ImportError:  # pragma: no cover
     _gaussian_filter = None
 
-from .utils.misc import quantile as _quantile, resample_equal
+from .utils.misc import quantile as _quantile
 from .utils.runs import _get_nsamps_samples_n
 
 __all__ = [

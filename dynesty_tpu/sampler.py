@@ -153,7 +153,8 @@ class Sampler:
                  cite=None,
                  logvol_init=0.0,
                  dtype=None,
-                 mesh=None):
+                 mesh=None,
+                 rounds_per_dispatch=1):
         import jax.numpy as jnp
         import jax
 
@@ -217,6 +218,10 @@ class Sampler:
         self.mapper = map
         # optional jax.sharding.Mesh: shards the proposal batch over chips
         self.mesh = mesh
+        # chain this many propose+consume rounds per device call
+        # (amortizes fixed dispatch costs; bound refits and tuning then
+        # happen every rounds_per_dispatch queue refills)
+        self.rounds_per_dispatch = max(int(rounds_per_dispatch), 1)
 
     # ------------------------------------------------------------------
     # persistence
@@ -241,6 +246,38 @@ class Sampler:
         self.pool = None
         self.mapper = map
         self.mesh = None
+
+    def reset(self):
+        """Re-initialize: fresh live points from the prior and cleared
+        run state (reference ``sampler.py:527``)."""
+        live_points, logvol_init, init_ncalls = initialize_live_points(
+            None, self.loglikelihood, self.nlive, self.ndim, self.rstate,
+            blob=self.blob)
+        self.live_u, self.live_v, self.live_logl = live_points[:3]
+        self.live_blobs = live_points[3] if self.blob else None
+        self.live_bound = np.zeros(self.nlive, dtype=int)
+        self.live_it = np.zeros(self.nlive, dtype=int)
+        self.logvol_init = logvol_init
+        self.it = 1
+        self.ncall = init_ncalls
+        self.added_live = False
+        self.eff = 0.0
+        self.unit_cube_sampling = True
+        self.bound = UnitCube(self.ncdim)
+        self.bound_list = [self.bound]
+        self.nbound = 1
+        self.bound_version += 1
+        self.logl_first_update = None
+        self.ncall_at_last_update = 0
+        self.bound_next = get_bound(self.bounding, self.ncdim)
+        self.internal_sampler = UnitCubeSampler(ndim=self.ndim)
+        self.plateau_mode = False
+        self.plateau_counter = None
+        self.plateau_logdvol = None
+        self.saved_run = RunRecord()
+        for k in ("_integ", "_pending_records", "_leftover", "_live_dev",
+                  "_live_blob_dev", "_mirror_stale", "_bound_upload"):
+            self.__dict__.pop(k, None)
 
     # ------------------------------------------------------------------
     # bound management
@@ -591,13 +628,13 @@ class Sampler:
                         *self.live_blobs)
 
         while True:
-            # ---- drain pending (already-computed) records
+            # ---- drain pending yields (their rows are already appended
+            # to saved_run at round-merge time)
             while self._pending_records:
                 row = self._pending_records.pop(0)
-                self.saved_run.append(row["saved"])
                 accepted_this_call += 1
-                ncall += row["saved"]["nc"]
-                yield IteratorResult(**row["iter"])
+                ncall += row["nc"]
+                yield IteratorResult(**row)
             if terminal_break:
                 break
             if accepted_this_call >= maxiter or ncall >= maxcall:
@@ -613,15 +650,16 @@ class Sampler:
             limits = _limits_vec()
 
             if self._leftover is not None:
-                # consume-only replay of an interrupted round's tail;
-                # no RNG draw (bit-exact resume)
+                # consume-only replay of an interrupted dispatch's tail
+                # (chunked by queue_size); no RNG draw (bit-exact resume)
                 import jax.random as _jr
 
                 key = _jr.key(0)
                 _upload_live()
-                prop = self._leftover["prop"]
-                n_real = len(prop)
+                prop_all = self._leftover["prop"]
                 qsz = self.queue_size
+                prop = prop_all[:qsz]
+                n_real = len(prop)
                 pad = np.zeros((qsz - n_real, prop.shape[1]))
                 pad[:, ndim + npdim] = -1e30
                 prop_padded = jnp.asarray(
@@ -630,8 +668,9 @@ class Sampler:
                 if pblob is not None:
                     pb_pad = jax.tree.map(
                         lambda b: jnp.asarray(np.concatenate(
-                            [b, np.zeros((qsz - n_real,) + b.shape[1:],
-                                         b.dtype)])), pblob)
+                            [b[:qsz],
+                             np.zeros((qsz - n_real,) + b.shape[1:],
+                                      b.dtype)])), pblob)
                 else:
                     pb_pad = None
                 out, live_out, live_blob_out, old_blobs_dev = \
@@ -653,11 +692,22 @@ class Sampler:
                     self.internal_sampler.run_fused(
                         self, key, self._live_dev, self._live_blob_dev,
                         axes_args, integ, limits)
-                n_real_limit = self.queue_size
+                n_real_limit = self.queue_size * self.rounds_per_dispatch
 
             # ---- leftover bookkeeping (checkpoint-exact resume)
             n_cons = min(out["n_consumed"], n_real_limit)
-            if n_cons < n_real_limit:
+            if self._leftover is not None:
+                # chunked replay: drop the consumed prefix
+                prop_rest = self._leftover["prop"][n_cons:]
+                if len(prop_rest):
+                    lo = {"prop": prop_rest}
+                    if self.blob and self._leftover.get("blob") is not None:
+                        lo["blob"] = jax.tree.map(
+                            lambda b: b[n_cons:], self._leftover["blob"])
+                    self._leftover = lo
+                else:
+                    self._leftover = None
+            elif n_cons < n_real_limit:
                 props = out["proposals"][n_cons:n_real_limit]
                 lo = {"prop": np.array(props, dtype=np.float64)}
                 if self.blob:
@@ -708,39 +758,53 @@ class Sampler:
                                   "stopping the run.")
                 terminal_break = True
 
-            # ---- stage the accepted records as pending rows
+            # ---- append the round's records in bulk, stage the yields
             recs = np.asarray(out["records"], dtype=np.float64)
             accepts = out["accepts"]
             scale_now = self.internal_sampler.scale
             acc_idx = np.nonzero(accepts)[0]
-            tail = recs[acc_idx, rec_off:rec_off + 9]
-            dlz = out["delta_logz"]
-            for j, i in enumerate(acc_idx):
-                row = recs[i]
-                worst = int(row[0])
-                ustar = row[1:1 + ndim]
-                vstar = row[1 + ndim:rec_off]
-                (r_logl, r_logvol, r_logwt, r_logz, r_logzvar, r_h,
-                 r_nc, r_it, r_bidx) = tail[j]
-                boundidx = int(r_bidx) if r_bidx >= 0 else bounditer
-                old_blob = (jax.tree.map(lambda b: b[i], old_blobs)
-                            if self.blob else None)
-                saved = dict(id=worst, u=ustar, v=vstar, logl=r_logl,
-                             logvol=r_logvol, logwt=r_logwt, logz=r_logz,
-                             logzvar=r_logzvar, h=r_h, nc=int(r_nc),
-                             it=int(r_it), bounditer=bounditer,
-                             boundidx=boundidx, scale=scale_now,
-                             blob=old_blob, proposal_stats=None)
-                itres = dict(
-                    worst=worst, ustar=ustar, vstar=vstar,
-                    loglstar=r_logl, logvol=r_logvol, logwt=r_logwt,
-                    logz=r_logz, logzvar=r_logzvar, h=r_h, nc=int(r_nc),
-                    blob=old_blob, worst_it=int(r_it),
-                    boundidx=boundidx, bounditer=bounditer,
-                    eff=self.eff, delta_logz=float(dlz[i]),
-                    proposal_stats=None)
-                self._pending_records.append(
-                    {"saved": saved, "iter": itres})
+            n_new = len(acc_idx)
+            if n_new:
+                tail = recs[acc_idx, rec_off:rec_off + 9]
+                worsts = recs[acc_idx, 0].astype(int)
+                bidx = tail[:, 8].astype(int)
+                bidx[bidx < 0] = bounditer
+                old_blob_rows = [None] * n_new
+                if self.blob:
+                    old_blob_rows = [
+                        jax.tree.map(lambda b: b[i], old_blobs)
+                        for i in acc_idx
+                    ]
+                D = self.saved_run.D
+                D["id"].extend(worsts.tolist())
+                D["u"].extend(list(recs[acc_idx, 1:1 + ndim]))
+                D["v"].extend(list(recs[acc_idx, 1 + ndim:rec_off]))
+                D["logl"].extend(tail[:, 0].tolist())
+                D["logvol"].extend(tail[:, 1].tolist())
+                D["logwt"].extend(tail[:, 2].tolist())
+                D["logz"].extend(tail[:, 3].tolist())
+                D["logzvar"].extend(tail[:, 4].tolist())
+                D["h"].extend(tail[:, 5].tolist())
+                D["nc"].extend(tail[:, 6].astype(int).tolist())
+                D["it"].extend(tail[:, 7].astype(int).tolist())
+                D["bounditer"].extend([bounditer] * n_new)
+                D["boundidx"].extend(bidx.tolist())
+                D["scale"].extend([scale_now] * n_new)
+                D["blob"].extend(old_blob_rows)
+                D["proposal_stats"].extend([None] * n_new)
+                dlz = out["delta_logz"]
+                for j, i in enumerate(acc_idx):
+                    self._pending_records.append(dict(
+                        worst=int(worsts[j]),
+                        ustar=recs[i, 1:1 + ndim],
+                        vstar=recs[i, 1 + ndim:rec_off],
+                        loglstar=tail[j, 0], logvol=tail[j, 1],
+                        logwt=tail[j, 2], logz=tail[j, 3],
+                        logzvar=tail[j, 4], h=tail[j, 5],
+                        nc=int(tail[j, 6]), blob=old_blob_rows[j],
+                        worst_it=int(tail[j, 7]), boundidx=int(bidx[j]),
+                        bounditer=bounditer, eff=self.eff,
+                        delta_logz=float(dlz[i]), proposal_stats=None))
 
         self._ensure_live_mirror()
 

@@ -122,3 +122,25 @@ def test_stopping_function_vals():
         res, {"target_n_effective": 10, "n_mc": 25, "error": "jitter"},
         rstate=rstate, return_vals=True)
     assert np.isfinite(vals[2])
+
+
+def test_dynamic_eggbox():
+    # multimodal dynamic run (reference tests/test_dyn.py:27-42)
+    tmax = 5.0 * np.pi
+
+    def loglike(x):
+        t = 2.0 * tmax * x - tmax
+        return (2.0 + jnp.cos(t[0] / 2.0) * jnp.cos(t[1] / 2.0)) ** 5.0
+
+    def ptform(u):
+        return u
+
+    rstate = get_rstate()
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, 2, bound="multi",
+                                     sample="unif", rstate=rstate,
+                                     queue_size=128)
+    dns.run_nested(nlive_init=300, nlive_batch=100, maxbatch=2,
+                   print_progress=False, dlogz_init=0.01)
+    res = dns.results
+    assert abs(res.logz[-1] - 235.856) < 5 * res.logzerr[-1], \
+        (res.logz[-1], res.logzerr[-1])

@@ -159,3 +159,33 @@ def test_unused_reference_kwargs_accepted():
         queue_size=32)
     sampler.run_nested(maxiter=100, print_progress=False)
     assert np.isfinite(sampler.results.logz[-1])
+
+
+def test_reset():
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(maxiter=200, print_progress=False, add_live=False)
+    sampler.reset()
+    assert sampler.it == 1
+    assert len(sampler.saved_run) == 0
+    sampler.run_nested(maxiter=200, print_progress=False, add_live=False)
+    assert np.isfinite(sampler.saved_run["logz"][-1])
+
+
+def test_no_global_numpy_random():
+    # RNG discipline (the reference enforces this with a CI grep):
+    # no np.random.<fn> calls on the legacy global state in the library
+    import pathlib
+    import re
+
+    root = pathlib.Path(dytpu.__file__).parent
+    bad = []
+    pat = re.compile(r"np\.random\.(?!Generator|PCG64|default_rng)")
+    for f in root.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines()):
+            if pat.search(line):
+                bad.append(f"{f}:{i + 1}: {line.strip()}")
+    assert not bad, bad
