@@ -80,7 +80,8 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         live_logl0 = live[:, il]
         loglstar0 = jnp.min(live_logl0)
 
-        qu, qv, qlogl, qblob, qnc, stats = propose_fn(
+        (qu, qv, qlogl, qblob, qnc, stats,
+         lane_stats) = propose_fn(
             k_sel, k_prop, live, live_blob, axes_args, scale, loglstar0)
 
         it0 = integ["it"]
@@ -237,7 +238,8 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         stats_vec = jnp.zeros((4,), dtype).at[:len(stats)].set(
             jnp.stack([jnp.asarray(sv, dtype) for sv in stats]))
         proposals = jnp.concatenate(
-            [qu, qv, qlogl[:, None], qnc.astype(dtype)[:, None]], axis=1)
+            [qu, qv, qlogl[:, None], qnc.astype(dtype)[:, None],
+             lane_stats.astype(dtype)], axis=1)
         round_out = (recs, accepts, r_dlogz, proposals, stats_vec,
                      old_blobs, qblob)
         return live_out, live_blob_out, integ_out, counters_out, round_out
@@ -316,7 +318,7 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
     width = 1 + ndim + npdim + 9
     layout = {
         "rec_shape": (rounds * q, width),
-        "prop_shape": (rounds * q, ndim + npdim + 2),
+        "prop_shape": (rounds * q, ndim + npdim + 4),
         "n_integ": 9,
         "n_info": 5,
         "n_stats": 4,

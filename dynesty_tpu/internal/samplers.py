@@ -174,7 +174,8 @@ class InternalSampler:
                 return (ent["prop"][:, :ndim], ent["prop"][:, ndim:il],
                         ent["prop"][:, il],
                         qblob,
-                        ent["prop"][:, il + 1].astype(jnp.int32), stats)
+                        ent["prop"][:, il + 1].astype(jnp.int32), stats,
+                        ent["prop"][:, il + 2:il + 4])
 
             entry = make_fused_round(
                 propose, kind="replay", nlive=ns.nlive, ndim=ndim,
@@ -202,6 +203,11 @@ class InternalSampler:
         """Convert the fused round's stats vector into a tuning_info
         dict (kernel specific); None if the kernel has no tuning."""
         return None
+
+    def row_stats(self, a, b):
+        """Per-record proposal_stats dict from the two per-lane stat
+        columns (kernel specific)."""
+        return {"n_proposals": max(int(a), 1)}
 
     def tune(self, tuning_info, update=False):
         """Accumulate round statistics; apply the scale update if
@@ -273,7 +279,9 @@ def _unif_propose_fn(sampler, ns, bound_kind):
         lane = jnp.arange(q)
         qnc = base + (lane < extra)
         stats = (packed[0, il + 1], packed[0, il + 2], packed[0, il + 3])
-        return qu, qv, qlogl, blob_out, qnc, stats
+        lane_stats = jnp.stack([qnc.astype(packed.dtype),
+                                jnp.zeros((q,), packed.dtype)], axis=1)
+        return qu, qv, qlogl, blob_out, qnc, stats, lane_stats
 
     return propose
 
@@ -443,13 +451,17 @@ class RWalkSampler(InternalSampler):
             qlogl = packed[:, il]
             qnc = jnp.full((q,), walks, dtype=jnp.int32)
             stats = (packed[:, il + 1].sum(), packed[:, il + 2].sum())
-            return qu, qv, qlogl, blob_out, qnc, stats
+            lane_stats = packed[:, il + 1:il + 3]
+            return qu, qv, qlogl, blob_out, qnc, stats, lane_stats
 
         return propose
 
     def consume_tuning(self, stats):
         return {"accept": int(stats[0]), "reject": int(stats[1]),
                 "scale": self.scale}
+
+    def row_stats(self, a, b):
+        return {"n_accept": int(a), "n_reject": int(b)}
 
     def tune(self, tuning_info, update=True):
         """Newton-like scale update toward the target acceptance rate
@@ -512,13 +524,17 @@ class _SliceBase(InternalSampler):
             qnc = packed[:, il + 1].astype(jnp.int32)
             stats = (packed[:, il + 2].sum(), packed[:, il + 3].sum(),
                      packed[:, il + 4].max())
-            return qu, qv, qlogl, blob_out, qnc, stats
+            lane_stats = packed[:, il + 2:il + 4]
+            return qu, qv, qlogl, blob_out, qnc, stats, lane_stats
 
         return propose
 
     def consume_tuning(self, stats):
         return {"n_expand": int(stats[0]), "n_contract": int(stats[1]),
                 "expansion_warning_set": bool(stats[2] > 0)}
+
+    def row_stats(self, a, b):
+        return {"n_expand": int(a), "n_contract": int(b)}
 
     def tune(self, tuning_info, update=True):
         """Multiplicative scale update from the expansion/contraction

@@ -791,7 +791,15 @@ class Sampler:
                 D["boundidx"].extend(bidx.tolist())
                 D["scale"].extend([scale_now] * n_new)
                 D["blob"].extend(old_blob_rows)
-                D["proposal_stats"].extend([None] * n_new)
+                if self.unit_cube_sampling:
+                    row_stats = [None] * n_new
+                else:
+                    ls = out["proposals"][acc_idx, -2:]
+                    row_stats = [
+                        self.internal_sampler.row_stats(*ls[j])
+                        for j in range(n_new)
+                    ]
+                D["proposal_stats"].extend(row_stats)
                 dlz = out["delta_logz"]
                 for j, i in enumerate(acc_idx):
                     self._pending_records.append(dict(
@@ -804,7 +812,8 @@ class Sampler:
                         nc=int(tail[j, 6]), blob=old_blob_rows[j],
                         worst_it=int(tail[j, 7]), boundidx=int(bidx[j]),
                         bounditer=bounditer, eff=self.eff,
-                        delta_logz=float(dlz[i]), proposal_stats=None))
+                        delta_logz=float(dlz[i]),
+                        proposal_stats=row_stats[j]))
 
         self._ensure_live_mirror()
 

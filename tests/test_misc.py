@@ -189,3 +189,21 @@ def test_no_global_numpy_random():
             if pat.search(line):
                 bad.append(f"{f}:{i + 1}: {line.strip()}")
     assert not bad, bad
+
+
+def test_proposal_stats_plumbing():
+    # per-sample proposal statistics reach Results (reference
+    # test_proposal_stats.py pattern)
+    loglike, ptform = _gau()
+    for sample, keys in (("rwalk", {"n_accept", "n_reject"}),
+                         ("rslice", {"n_expand", "n_contract"}),
+                         ("unif", {"n_proposals"})):
+        rstate = get_rstate()
+        sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=120,
+                                      bound="single", sample=sample,
+                                      rstate=rstate, queue_size=32)
+        sampler.run_nested(print_progress=False, add_live=False)
+        stats = sampler.results.proposal_stats
+        filled = [s for s in stats if s is not None]
+        assert len(filled) > 0
+        assert set(filled[-1].keys()) == keys, (sample, filled[-1])
