@@ -191,7 +191,9 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         ncdim=main_sampler.ncdim,
         blob=main_sampler.blob,
         bound_bootstrap=main_sampler.bound_bootstrap,
-        bound_enlarge=main_sampler.bound_enlarge)
+        bound_enlarge=main_sampler.bound_enlarge,
+        rounds_per_dispatch=getattr(main_sampler, "rounds_per_dispatch",
+                                    1))
     batch_sampler.save_bounds = save_bounds
     batch_sampler.logl_first_update = main_sampler.sampler.logl_first_update
 
@@ -319,7 +321,7 @@ class DynamicSampler:
                  nlive0=None, ncdim=None, rstate=None, queue_size=None,
                  bound_update_interval_ratio=None, first_bound_update=None,
                  bound_bootstrap=0, bound_enlarge=1.0, blob=False,
-                 cite=None):
+                 cite=None, rounds_per_dispatch=1):
         self.loglikelihood = loglikelihood
         self.ndim = ndim
         self.ncdim = ncdim or ndim
@@ -334,6 +336,7 @@ class DynamicSampler:
         self.cite = cite or ""
         self.rstate = rstate
         self.queue_size = queue_size
+        self.rounds_per_dispatch = rounds_per_dispatch
         self.pool = None
         self.mapper = map
 
@@ -366,6 +369,7 @@ class DynamicSampler:
                logl_kwargs=None, ptform_args=None, ptform_kwargs=None,
                enlarge=None, bootstrap=None, walks=None, facc=0.5,
                slices=None, ncdim=None, blob=False, likelihood_mode="jax",
+               rounds_per_dispatch=1,
                save_evaluation_history=False, history_filename=None):
         """Factory with the reference ``DynamicNestedSampler`` signature
         (``dynesty.py:691-774``)."""
@@ -385,7 +389,8 @@ class DynamicSampler:
                   first_bound_update=cfg["first_update"],
                   bound_bootstrap=cfg["bootstrap"],
                   bound_enlarge=cfg["enlarge"], blob=blob,
-                  cite=cfg["cite"]("dynamic"))
+                  cite=cfg["cite"]("dynamic"),
+                  rounds_per_dispatch=rounds_per_dispatch)
         obj.pool = pool
         return obj
 
@@ -514,7 +519,8 @@ class DynamicSampler:
                 queue_size=self.queue_size, ncdim=self.ncdim,
                 bound_bootstrap=self.bound_bootstrap,
                 bound_enlarge=self.bound_enlarge, blob=self.blob,
-                logvol_init=logvol_init)
+                logvol_init=logvol_init,
+                rounds_per_dispatch=self.rounds_per_dispatch)
             self.bound_list = self.sampler.bound_list
             self.internal_state = DynamicSamplerStatesEnum.LIVEPOINTSINIT
 
