@@ -25,6 +25,11 @@ from .runs import (
 )
 from .checkpoint import save_sampler, restore_sampler
 
+# reference `dynesty.utils` namespace parity
+from ..ops.integrals import (compute_integrals, progress_integration,
+                             get_neff_from_logwt, LOWL_VAL)
+from ..ops.geometry import unitcheck, apply_reflect, randsphere
+
 __all__ = [
     "Results",
     "RunRecord",
@@ -48,4 +53,11 @@ __all__ = [
     "check_result_static",
     "save_sampler",
     "restore_sampler",
+    "compute_integrals",
+    "progress_integration",
+    "get_neff_from_logwt",
+    "LOWL_VAL",
+    "unitcheck",
+    "apply_reflect",
+    "randsphere",
 ]
