@@ -308,6 +308,12 @@ class MultiEllipsoid(Bound):
     def contains(self, x):
         return bool(np.any(self._sq_distances(x) < 1))
 
+    def contains_many(self, xs):
+        """Vectorized membership for (n, ndim) points."""
+        d = xs[:, None, :] - self.ctrs[None, :, :]
+        sq = np.einsum("nai,aij,naj->na", d, self.ams, d)
+        return np.any(sq < 1, axis=1)
+
     def sample(self, rstate=None, return_q=False):
         """Uniform sample from the union (volume-weighted ellipsoid choice
         plus 1/q overlap rejection)."""
@@ -360,7 +366,7 @@ class MultiEllipsoid(Bound):
         self.nells = len(ells)
         self.ells = ells
         self._sync_arrays()
-        if not all(self.contains(p) for p in points):
+        if not self.contains_many(points).all():
             raise RuntimeError("Rejecting invalid MultiEllipsoid region")
         self.logvol = _logsumexp(self.logvol_ells)
 
@@ -597,16 +603,24 @@ def bounding_ellipsoid(points):
 
 def _kmeans2(points, start_ctrs, niter=10):
     """Plain Lloyd's k-means from given start centers (k=2 here); empty
-    clusters retain their previous centroid."""
+    clusters retain their previous centroid.  Vectorized centroid
+    updates (bincount) and early exit on label convergence."""
     ctrs = np.array(start_ctrs, dtype=np.float64)
+    k, ndim = ctrs.shape
     labels = None
     for _ in range(niter):
         d2 = ((points[:, None, :] - ctrs[None, :, :]) ** 2).sum(axis=2)
-        labels = d2.argmin(axis=1)
-        for k in range(len(ctrs)):
-            sel = labels == k
-            if sel.any():
-                ctrs[k] = points[sel].mean(axis=0)
+        new_labels = d2.argmin(axis=1)
+        if labels is not None and np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+        counts = np.bincount(labels, minlength=k).astype(np.float64)
+        sums = np.empty((k, ndim))
+        for d in range(ndim):
+            sums[:, d] = np.bincount(labels, weights=points[:, d],
+                                     minlength=k)
+        nonempty = counts > 0
+        ctrs[nonempty] = sums[nonempty] / counts[nonempty, None]
     return ctrs, labels
 
 

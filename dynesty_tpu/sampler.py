@@ -437,8 +437,13 @@ class Sampler:
             return
         if self.bound.need_centers:
             self.bound.ctrs = self.live_u
-        escaped = any(
-            not self.bound.contains(u[:self.ncdim]) for u in self.live_u)
+        if hasattr(self.bound, "contains_many"):
+            escaped = not self.bound.contains_many(
+                self.live_u[:, :self.ncdim]).all()
+        else:
+            escaped = any(
+                not self.bound.contains(u[:self.ncdim])
+                for u in self.live_u)
         if escaped:
             self.update_bound_if_needed(-np.inf, force=True)
             if self.bound.need_centers:
