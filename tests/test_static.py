@@ -217,3 +217,40 @@ def test_results_api():
         res.logz = None
     res2 = res.copy()
     assert np.allclose(res2.logz, res.logz)
+
+
+def _bootstrap_tol(results, rstate):
+    """Bootstrap uncertainty of posterior means/covs (reference
+    test_gau.py:19-61 helper)."""
+    pos = np.asarray(results.samples)
+    wts = results.importance_weights()
+    means, covs = [], []
+    for _ in range(50):
+        sub = rstate.uniform(size=len(pos)) < wts / wts.max()
+        idx0 = np.nonzero(sub)[0]
+        idx = rstate.choice(idx0, size=len(idx0), replace=True)
+        means.append(pos[idx].mean(axis=0))
+        covs.append(np.cov(pos[idx].T))
+    return np.std(means, axis=0), np.std(covs, axis=0)
+
+
+def test_posterior_moments():
+    # posterior mean/cov must match the analytic truth within bootstrap
+    # tolerances (reference check_results pattern)
+    from dynesty_tpu.utils import mean_and_cov
+
+    loglike, ptform = _make_gau()
+    cov_truth = np.identity(NDIM)
+    cov_truth[cov_truth == 0] = CORR
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=400,
+                                  bound="multi", sample="unif",
+                                  rstate=rstate, queue_size=128)
+    sampler.run_nested(print_progress=False)
+    res = sampler.results
+    mean_tol, cov_tol = _bootstrap_tol(res, rstate)
+    mean, cov = mean_and_cov(np.asarray(res.samples),
+                             res.importance_weights())
+    assert np.all(np.abs(mean) < 4 * mean_tol + 0.02), (mean, mean_tol)
+    assert np.all(np.abs(cov - cov_truth) < 4 * cov_tol + 0.05), \
+        (cov, cov_tol)
