@@ -91,7 +91,11 @@ def main():
                                bound="single", sample="rslice",
                                rstate=rstate, queue_size=QUEUE,
                                rounds_per_dispatch=ROUNDS)
-    warm.run_nested(maxiter=QUEUE + 1, print_progress=False,
+    # two dispatches: the first runs the unit-cube variant, the second
+    # (after the first bound refit) the ellipsoid variant — so both
+    # fused programs are traced AND compiled before the timed window
+    # (the traces are shared across sampler instances process-wide)
+    warm.run_nested(maxiter=2 * QUEUE * ROUNDS + 1, print_progress=False,
                     add_live=False)
 
     rstate = np.random.Generator(np.random.PCG64(SEED))

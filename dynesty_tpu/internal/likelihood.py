@@ -222,6 +222,29 @@ class LogLikelihood:
             self.append_evaluation_history(u, v, logl)
         return v, np.asarray(logl, dtype=np.float64), blob
 
+    def trace_cache_key(self):
+        """Hashable key identifying the traced batch computation, or
+        ``None`` when traces closing over this instance cannot be shared
+        across instances (host-mode io_callbacks and evaluation-history
+        recording are instance-bound side effects; unhashable bound
+        args/kwargs get baked into the trace as constants)."""
+        if self.mode == "host" or self.save_evaluation_history:
+            return None
+        blob_sd = self.blob_shape_dtype
+        if blob_sd is not None:
+            blob_sd = (tuple(blob_sd[0]), str(blob_sd[1]))
+        try:
+            key = (self._base_logl, self._base_ptform, self.mode,
+                   bool(self.blob), self.ndim, self.npdim, blob_sd,
+                   self.dtype, self._logl_args,
+                   tuple(sorted(self._logl_kwargs.items())),
+                   self._ptform_args,
+                   tuple(sorted(self._ptform_kwargs.items())))
+            hash(key)
+            return key
+        except TypeError:
+            return None
+
     def batch_eval(self, u):
         """Traced batched evaluation for use inside jitted kernels.
 

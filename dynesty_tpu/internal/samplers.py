@@ -32,6 +32,28 @@ __all__ = [
 
 INTERNAL_SAMPLER_LIST = ["rwalk", "unif", "rslice", "slice"]
 
+# Process-wide cache of built fused/replay round functions.  A jit trace
+# + lowering costs seconds of host Python even when the persistent
+# compile cache hits, and every NestedSampler (including each dynamic
+# batch sampler) gets a fresh InternalSampler whose per-instance cache
+# starts empty — so repeated runs over the same user functions and
+# static configuration share traces here instead of re-tracing.
+_GLOBAL_ROUND_CACHE = {}
+
+
+def _hashable_mask(x):
+    """Hashable form of an index/mask array kwarg (pass-through for
+    already-hashable values).  Raises TypeError when impossible, which
+    disables global caching for that configuration."""
+    try:
+        hash(x)
+        return x
+    except TypeError:
+        arr = np.asarray(x)
+        if arr.dtype == object:
+            raise TypeError("unhashable sampler kwarg")
+        return (arr.shape, arr.dtype.str, tuple(arr.ravel().tolist()))
+
 
 class InternalSampler:
     """Base class: holds kwargs (periodic/reflective/nonbounded masks,
@@ -122,20 +144,42 @@ class InternalSampler:
         raise NotImplementedError
 
     def get_fused(self, nested_sampler, bound_kind):
-        """(fused_fn, layout) for the current configuration, cached."""
+        """(fused_fn, layout) for the current configuration, cached
+        per-instance and (when safe) process-wide, so fresh sampler
+        objects over the same user functions reuse the existing trace."""
         ns = nested_sampler
         rounds = getattr(ns, "rounds_per_dispatch", 1)
         cfg = ("fused", bound_kind, ns.queue_size, ns.nlive, rounds,
                self._fused_cfg_key())
         entry = self._round_cache.get(cfg)
-        if entry is None:
-            propose_fn = self._build_propose_fn(ns, bound_kind)
-            entry = make_fused_round(
-                propose_fn, kind=getattr(self, "name", "?"),
-                nlive=ns.nlive, ndim=self.ndim,
-                npdim=ns.loglikelihood.npdim, q=ns.queue_size,
-                dtype=ns.dtype, blob=ns.blob, rounds=rounds)
-            self._round_cache[cfg] = entry
+        if entry is not None:
+            return entry
+        gkey = None
+        if bound_kind != "custom" and getattr(ns, "mesh", None) is None:
+            lkey = ns.loglikelihood.trace_cache_key()
+            if lkey is not None:
+                try:
+                    gkey = (type(self).__name__, cfg, self.ndim,
+                            self.ncdim, ns.dtype, bool(ns.blob), lkey,
+                            tuple(sorted(
+                                (k, _hashable_mask(v))
+                                for k, v in self.sampler_kwargs.items())))
+                except TypeError:
+                    gkey = None
+        if gkey is not None:
+            entry = _GLOBAL_ROUND_CACHE.get(gkey)
+            if entry is not None:
+                self._round_cache[cfg] = entry
+                return entry
+        propose_fn = self._build_propose_fn(ns, bound_kind)
+        entry = make_fused_round(
+            propose_fn, kind=getattr(self, "name", "?"),
+            nlive=ns.nlive, ndim=self.ndim,
+            npdim=ns.loglikelihood.npdim, q=ns.queue_size,
+            dtype=ns.dtype, blob=ns.blob, rounds=rounds)
+        self._round_cache[cfg] = entry
+        if gkey is not None:
+            _GLOBAL_ROUND_CACHE[gkey] = entry
         return entry
 
     def _fused_cfg_key(self):
@@ -164,6 +208,14 @@ class InternalSampler:
         if entry is None:
             ndim = self.ndim
             npdim = ns.loglikelihood.npdim
+            # the replay round never calls the likelihood (entries carry
+            # their logl), so the global key is purely structural
+            gkey = ("replay", ns.queue_size, ns.nlive, ndim, npdim,
+                    ns.dtype, bool(ns.blob))
+            entry = _GLOBAL_ROUND_CACHE.get(gkey)
+            if entry is not None:
+                self._round_cache[cfg] = entry
+                return entry
             il = ndim + npdim
 
             def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
@@ -182,6 +234,7 @@ class InternalSampler:
                 npdim=npdim, q=ns.queue_size, dtype=ns.dtype,
                 blob=ns.blob)
             self._round_cache[cfg] = entry
+            _GLOBAL_ROUND_CACHE[gkey] = entry
         return entry
 
     def run_replay(self, nested_sampler, key, live_packed, live_blob,
