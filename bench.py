@@ -28,7 +28,7 @@ REF_SECONDS = 101.6  # reference dynesty, same problem, this host (CPU)
 NDIM = 25
 NLIVE = 500
 QUEUE = 256
-ROUNDS = 8  # fused rounds per device dispatch (amortizes relay latency)
+ROUNDS = 24  # fused rounds per device dispatch (amortizes relay latency)
 SEED = 56432
 TRUTH = -NDIM * np.log(20.0)
 

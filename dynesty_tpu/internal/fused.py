@@ -41,7 +41,7 @@ def record_columns(ndim, npdim):
 
 
 def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
-                     blob=False, rounds=1):
+                     blob=False, rounds=1, tune_fn=None):
     """Wrap a proposal round into a fused propose+consume device call.
 
     The consume scan carries only the live log-likelihood vector and an
@@ -52,10 +52,16 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
 
     ``rounds > 1`` chains several propose+consume rounds inside ONE
     device call (amortizing fixed dispatch/transfer costs on relayed
-    devices); bound refits and scale tuning then happen every ``rounds``
-    queue refills.  Counters, the nc accumulator and the done flag carry
-    across the inner rounds, so the result is exactly ``rounds``
-    consecutive rounds without host involvement.
+    devices); bound refits then happen every ``rounds`` queue refills.
+    Counters, the nc accumulator and the done flag carry across the
+    inner rounds, so the result is exactly ``rounds`` consecutive rounds
+    without host involvement.
+
+    ``tune_fn(scale, stats_vec) -> scale`` (traceable) applies the
+    kernel's proposal-scale update BETWEEN inner rounds, i.e. at every
+    queue refill — the same cadence at which the reference tunes when
+    its proposal queue drains (``sampler.py:757-764``).  The final scale
+    is returned to the host in the info vector.
 
     Returned jitted function::
 
@@ -258,7 +264,7 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             "max_accepts": ctrl[11].astype(jnp.int32),
             "max_nc": ctrl[12].astype(jnp.int32),
         }
-        scale = ctrl[13]
+        scale0 = ctrl[13]
         counters = {
             "n_acc": jnp.int32(0), "n_cons": jnp.int32(0),
             "nc_accum": jnp.int32(0), "nc_used": jnp.int32(0),
@@ -266,21 +272,29 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         }
 
         def round_step(carry, rkey):
-            live, live_blob, integ, counters = carry
+            live, live_blob, integ, counters, scale = carry
+            was_done = counters["done"]
             live, live_blob, integ, counters, round_out = one_round(
                 rkey, live, live_blob, integ, counters, limits, scale,
                 axes_args)
-            return (live, live_blob, integ, counters), round_out
+            if tune_fn is not None:
+                # per-queue-refill scale adaptation (reference cadence:
+                # tune when the proposal queue drains, sampler.py:757-764)
+                scale = jnp.where(was_done, scale,
+                                  tune_fn(scale, round_out[4]).astype(
+                                      scale.dtype))
+            return (live, live_blob, integ, counters, scale), round_out
 
         rkeys = jax.random.split(key, rounds)
-        (live, live_blob, integ, counters), stacked = jax.lax.scan(
-            round_step, (live, live_blob, integ, counters), rkeys)
+        (live, live_blob, integ, counters, scale), stacked = jax.lax.scan(
+            round_step, (live, live_blob, integ, counters, scale0), rkeys)
         (recs, accepts, r_dlogz, proposals, stats_vecs, old_blobs,
          qblobs) = stacked
         recs = recs.reshape(rounds * q, -1)
         accepts = accepts.reshape(rounds * q)
         r_dlogz = r_dlogz.reshape(rounds * q)
         proposals = proposals.reshape(rounds * q, -1)
+        lane_stats = proposals[:, -2:]
         stats_vec = stats_vecs.sum(axis=0)
         if old_blobs is not None:
             old_blobs = jax.tree.map(
@@ -302,7 +316,12 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             counters["done"].astype(dtype),
             counters["n_cons"].astype(dtype),
             counters["reason"].astype(dtype),
+            scale.astype(dtype),
         ])
+        # the full proposals block stays on device: it is only needed
+        # for leftover replay when a dispatch ends early, so the common
+        # path saves its (rounds*q, ndim+npdim+4) transfer — relayed
+        # TPU fetches are bandwidth-bound
         flat = jnp.concatenate([
             recs.astype(dtype).ravel(),
             integ_vec.astype(dtype),
@@ -310,9 +329,9 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             stats_vec,
             accepts.astype(dtype),
             r_dlogz.astype(dtype),
-            proposals.astype(dtype).ravel(),
+            lane_stats.astype(dtype).ravel(),
         ])
-        return flat, live, live_blob, old_blobs, qblobs
+        return flat, proposals, live, live_blob, old_blobs, qblobs
 
     fused_jit = jax.jit(fused)
     width = 1 + ndim + npdim + 9
@@ -320,7 +339,7 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         "rec_shape": (rounds * q, width),
         "prop_shape": (rounds * q, ndim + npdim + 4),
         "n_integ": 9,
-        "n_info": 5,
+        "n_info": 6,
         "n_stats": 4,
         "q": rounds * q,
         "ndim": ndim,
@@ -344,8 +363,7 @@ def unpack_flat(flat, layout):
     stats = flat[pos:pos + layout["n_stats"]]; pos += layout["n_stats"]
     accepts = flat[pos:pos + q] > 0.5; pos += q
     delta_logz = flat[pos:pos + q]; pos += q
-    pq, pw = layout["prop_shape"]
-    proposals = flat[pos:pos + pq * pw].reshape(pq, pw); pos += pq * pw
+    lane_stats = flat[pos:pos + q * 2].reshape(q, 2); pos += q * 2
     return {
         "records": recs,
         "integ": {
@@ -360,10 +378,11 @@ def unpack_flat(flat, layout):
         "done": bool(info[2] > 0.5),
         "n_consumed": int(info[3]),
         "done_reason": int(info[4]),
+        "scale_final": float(info[5]),
         "stats": stats,
         "accepts": accepts,
         "delta_logz": delta_logz,
-        "proposals": proposals,
+        "lane_stats": lane_stats,
     }
 
 

@@ -513,6 +513,22 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
         return u, v, logl, blob, nc, n_expand, n_contract, \
             expansion_warning
 
+    def _make_directions(kdir, axes_d, scale):
+        if kind == "rslice":
+            # random isotropic directions transformed by the axes
+            drhat = jax.random.normal(kdir, (q, n_steps, ndim), dtype=dtype)
+            drhat = drhat / jnp.linalg.norm(drhat, axis=-1, keepdims=True)
+            return jnp.einsum("qij,qsj->qsi", axes_d, drhat) * scale
+        # per-lane shuffled principal-axis order, repeated per pass
+        perm = jax.vmap(
+            lambda k: jnp.concatenate([
+                jax.random.permutation(jax.random.fold_in(k, s), ndim)
+                for s in range(slices)
+            ]))(jax.random.split(kdir, q))  # (q, slices*ndim)
+        # axis i of the ellipsoid is column i of axes: per-lane
+        # row-gather of axes.T by the shuffled axis order
+        return jax.vmap(lambda a, p: a.T[p])(axes_d, perm) * scale
+
     def round_fn(key, packed_in, start_blob, scale, loglstar):
         start_u = packed_in[:, :ndim]
         start_v = packed_in[:, ndim:ndim + npdim]
@@ -520,23 +536,7 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
         axes = packed_in[:, ndim + npdim + 1:].reshape(q, ndim, ndim)
         kdir, kstep = jax.random.split(key)
         axes_d = axes.astype(dtype)
-
-        if kind == "rslice":
-            # random isotropic directions transformed by the axes
-            drhat = jax.random.normal(kdir, (q, n_steps, ndim), dtype=dtype)
-            drhat = drhat / jnp.linalg.norm(drhat, axis=-1, keepdims=True)
-            directions = jnp.einsum("qij,qsj->qsi", axes_d, drhat) * scale
-        else:
-            # per-lane shuffled principal-axis order, repeated per pass
-            perm = jax.vmap(
-                lambda k: jnp.concatenate([
-                    jax.random.permutation(jax.random.fold_in(k, s), ndim)
-                    for s in range(slices)
-                ]))(jax.random.split(kdir, q))  # (q, slices*ndim)
-            # axis i of the ellipsoid is column i of axes: per-lane
-            # row-gather of axes.T by the shuffled axis order
-            directions = jax.vmap(lambda a, p: a.T[p])(axes_d, perm) * scale
-            # (q, n_steps, ndim)
+        directions = _make_directions(kdir, axes_d, scale)
 
         n0 = jnp.zeros((q,), jnp.int32)
         carry0 = (start_u.astype(dtype), start_v.astype(dtype),
@@ -559,4 +559,125 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
                               n_contract, warn)
         return packed, blob
 
-    return jax.jit(round_fn)
+    # -- persistent-lane state machine (stepping-out mode) -----------------
+    # The barrier formulation above synchronizes all Q lanes at every
+    # expand/shrink while_loop, so each slice step costs the SLOWEST
+    # lane's evaluation count.  Here every lane advances its own
+    # (init-left, init-right, expand-left, expand-right, shrink) phase
+    # machine through its full budget of ``n_steps`` slice updates, so
+    # the total sequential depth is max-over-lanes of the per-lane TOTAL
+    # (which concentrates), not the sum of per-step maxima: ~2-4x fewer
+    # batched likelihood launches for identical sampling semantics.
+    PH_INIT_L, PH_INIT_R, PH_EXP_L, PH_EXP_R, PH_SHRINK = 0, 1, 2, 3, 4
+
+    def round_fn_sm(key, packed_in, start_blob, scale, loglstar):
+        start_u = packed_in[:, :ndim].astype(dtype)
+        start_v = packed_in[:, ndim:ndim + npdim].astype(dtype)
+        start_logl = packed_in[:, ndim + npdim].astype(dtype)
+        axes = packed_in[:, ndim + npdim + 1:].reshape(q, ndim, ndim)
+        kdir, kr0, kloop = jax.random.split(key, 3)
+        directions = _make_directions(kdir, axes.astype(dtype), scale)
+        # cap each direction's length at the cube diagonal (reference
+        # internal_samplers.py:1100-1108), precomputed for all steps
+        dirlen = jnp.linalg.norm(directions, axis=-1)
+        dirnorm = jnp.where(dirlen > maxlen, dirlen / maxlen, 1.0)
+        directions = directions / dirnorm[..., None]
+
+        r0 = jax.random.uniform(kr0, (q,), dtype=dtype)
+        i0 = jnp.zeros((q,), jnp.int32)
+        state = dict(
+            s=i0, phase=jnp.full((q,), PH_INIT_L, jnp.int32),
+            u=start_u, v=start_v, logl=start_logl, blob=start_blob,
+            u0=start_u, l=-r0, r=1.0 - r0,
+            fl=jnp.full((q,), _NEG_INF, dtype),
+            fr=jnp.full((q,), _NEG_INF, dtype),
+            nc=i0, n_exp=i0, n_con=i0, exp_step=i0,
+            warn=jnp.zeros((), bool), it=jnp.int32(0))
+
+        max_total = n_steps * max_shrink_iters
+
+        def cond(st):
+            return jnp.any(st["s"] < n_steps) & (st["it"] < max_total)
+
+        def body(st):
+            s, phase = st["s"], st["phase"]
+            l, r, fl, fr = st["l"], st["r"], st["fl"], st["fr"]
+            active = s < n_steps
+            kit = jax.random.fold_in(kloop, st["it"])
+            u_sh, u_r0 = jax.random.uniform(kit, (2, q), dtype=dtype)
+
+            dirc = jnp.take_along_axis(
+                directions, jnp.minimum(s, n_steps - 1)[:, None, None],
+                axis=1)[:, 0, :]
+            x = jnp.where(
+                phase == PH_INIT_L, l,
+                jnp.where(phase == PH_INIT_R, r,
+                          jnp.where(phase == PH_EXP_L, l - 1.0,
+                                    jnp.where(phase == PH_EXP_R, r + 1.0,
+                                              l + u_sh * (r - l)))))
+            upos = st["u0"] + x[:, None] * dirc
+            incube = unitcheck_batch(upos, nb) & active
+            v_x, logl_x, blob_x = _masked_eval(like, upos, incube)
+            nc = st["nc"] + active
+
+            is_il = active & (phase == PH_INIT_L)
+            is_ir = active & (phase == PH_INIT_R)
+            is_el = active & (phase == PH_EXP_L)
+            is_er = active & (phase == PH_EXP_R)
+            is_sh = active & (phase == PH_SHRINK)
+
+            fl = jnp.where(is_il | is_el, logl_x, fl)
+            fr = jnp.where(is_ir | is_er, logl_x, fr)
+            l = jnp.where(is_el, x, l)
+            r = jnp.where(is_er, x, r)
+            expanding = is_el | is_er
+            n_exp = st["n_exp"] + expanding
+            exp_step = st["exp_step"] + expanding
+            n_con = st["n_con"] + is_sh
+
+            acc = is_sh & (logl_x > loglstar)
+            rej = is_sh & ~acc
+            l = jnp.where(rej & (x < 0), x, l)
+            r = jnp.where(rej & (x > 0), x, r)
+
+            # phase transitions (using the updated fl/fr)
+            after_ir = jnp.where(
+                fl > loglstar, PH_EXP_L,
+                jnp.where(fr > loglstar, PH_EXP_R, PH_SHRINK))
+            nphase = jnp.where(is_il, PH_INIT_R, phase)
+            nphase = jnp.where(is_ir, after_ir, nphase)
+            el_done = is_el & (logl_x <= loglstar)
+            nphase = jnp.where(
+                el_done,
+                jnp.where(fr > loglstar, PH_EXP_R, PH_SHRINK), nphase)
+            er_done = is_er & (logl_x <= loglstar)
+            nphase = jnp.where(er_done, PH_SHRINK, nphase)
+
+            # acceptance: record the point and enter the next slice step
+            u = jnp.where(acc[:, None], upos, st["u"])
+            v = jnp.where(acc[:, None], v_x, st["v"])
+            logl = jnp.where(acc, logl_x, st["logl"])
+            blob = (_tree_where(acc, blob_x, st["blob"])
+                    if st["blob"] is not None else None)
+            u0 = jnp.where(acc[:, None], upos, st["u0"])
+            s_new = s + acc
+            l = jnp.where(acc, -u_r0, l)
+            r = jnp.where(acc, 1.0 - u_r0, r)
+            fl = jnp.where(acc, _NEG_INF, fl)
+            fr = jnp.where(acc, _NEG_INF, fr)
+            nphase = jnp.where(acc, PH_INIT_L, nphase)
+            warn = st["warn"] | jnp.any(exp_step > 1000)
+            exp_step = jnp.where(acc, 0, exp_step)
+
+            return dict(s=s_new, phase=nphase, u=u, v=v, logl=logl,
+                        blob=blob, u0=u0, l=l, r=r, fl=fl, fr=fr, nc=nc,
+                        n_exp=n_exp, n_con=n_con, exp_step=exp_step,
+                        warn=warn, it=st["it"] + 1)
+
+        st = jax.lax.while_loop(cond, body, state)
+        packed = pack_columns(q, dtype, st["u"], st["v"], st["logl"],
+                              st["nc"], st["n_exp"], st["n_con"],
+                              st["warn"])
+        return packed, st["blob"]
+
+    return jax.jit(round_fn if doubling else round_fn_sm)

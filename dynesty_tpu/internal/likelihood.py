@@ -28,6 +28,10 @@ from jax.experimental import io_callback as _io_callback
 
 __all__ = ["LogLikelihood", "LoglOutput"]
 
+# process-wide cache of jitted batch evaluators, keyed on the user
+# callables and bound arguments (see _batch_fn_cache_key)
+_BATCH_FN_CACHE = {}
+
 
 class LoglOutput:
     """Float-comparable carrier of (logl value, blob) returned by host-mode
@@ -118,7 +122,28 @@ class LogLikelihood:
         if self.mode == "host":
             self._batch_fn = None  # built after shapes are known
         else:
-            self._batch_fn = self._build_traced_batch_fn()
+            # share the jitted batch evaluator across wrapper instances
+            # with identical callables: re-wrapping the same user
+            # functions in a fresh jit would re-trace on first call
+            key = self._batch_fn_cache_key()
+            fn = _BATCH_FN_CACHE.get(key) if key is not None else None
+            if fn is None:
+                fn = self._build_traced_batch_fn()
+                if key is not None:
+                    _BATCH_FN_CACHE[key] = fn
+            self._batch_fn = fn
+
+    def _batch_fn_cache_key(self):
+        try:
+            key = (self._base_logl, self._base_ptform, self.mode,
+                   bool(self.blob), self._logl_args,
+                   tuple(sorted(self._logl_kwargs.items())),
+                   self._ptform_args,
+                   tuple(sorted(self._ptform_kwargs.items())))
+            hash(key)
+            return key
+        except TypeError:
+            return None
 
     # -- traced path ------------------------------------------------------
 

@@ -59,6 +59,12 @@ class InternalSampler:
     """Base class: holds kwargs (periodic/reflective/nonbounded masks,
     ndim/ncdim), the proposal scale, and the jitted-round cache."""
 
+    # Cap on fused rounds chained per device dispatch.  Bound refits
+    # only happen at dispatch boundaries, so kernels whose efficiency
+    # decays as the volume shrinks between refits must keep dispatches
+    # short (None = use the sampler's rounds_per_dispatch unchanged).
+    max_rounds_per_dispatch = None
+
     def __init__(self, **kwargs):
         self.scale = 1.0
         self.input_kwargs = kwargs
@@ -149,6 +155,8 @@ class InternalSampler:
         objects over the same user functions reuse the existing trace."""
         ns = nested_sampler
         rounds = getattr(ns, "rounds_per_dispatch", 1)
+        if self.max_rounds_per_dispatch is not None:
+            rounds = min(rounds, self.max_rounds_per_dispatch)
         cfg = ("fused", bound_kind, ns.queue_size, ns.nlive, rounds,
                self._fused_cfg_key())
         entry = self._round_cache.get(cfg)
@@ -176,7 +184,8 @@ class InternalSampler:
             propose_fn, kind=getattr(self, "name", "?"),
             nlive=ns.nlive, ndim=self.ndim,
             npdim=ns.loglikelihood.npdim, q=ns.queue_size,
-            dtype=ns.dtype, blob=ns.blob, rounds=rounds)
+            dtype=ns.dtype, blob=ns.blob, rounds=rounds,
+            tune_fn=self.device_tune_fn())
         self._round_cache[cfg] = entry
         if gkey is not None:
             _GLOBAL_ROUND_CACHE[gkey] = entry
@@ -192,11 +201,12 @@ class InternalSampler:
         bound_kind = nested_sampler.device_bound_kind()
         fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
         ctrl = np.concatenate([integ, limits, [self.scale]])
-        flat, live_out, live_blob_out, old_blobs, qblob = fused_fn(
-            key, live_packed, live_blob, axes_args,
-            jnp.asarray(ctrl, nested_sampler.dtype))
+        flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
+            fused_fn(key, live_packed, live_blob, axes_args,
+                     jnp.asarray(ctrl, nested_sampler.dtype))
         out = unpack_flat(jax.device_get(flat), layout)
         out["qblob"] = qblob
+        out["proposals_dev"] = proposals  # fetched only for leftovers
         return out, live_out, live_blob_out, old_blobs
 
     def get_replay(self, nested_sampler):
@@ -244,13 +254,35 @@ class InternalSampler:
         if nested_sampler.blob:
             args["qblob"] = prop_blob
         ctrl = np.concatenate([integ, limits, [self.scale]])
-        flat, live_out, live_blob_out, old_blobs, qblob = fused_fn(
-            key, live_packed, live_blob, args,
-            jnp.asarray(ctrl, nested_sampler.dtype))
+        flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
+            fused_fn(key, live_packed, live_blob, args,
+                     jnp.asarray(ctrl, nested_sampler.dtype))
         out = unpack_flat(jax.device_get(flat), layout)
         out["stats"] = None
         out["qblob"] = qblob
+        out["proposals_dev"] = proposals
         return out, live_out, live_blob_out, old_blobs
+
+    def device_tune_fn(self):
+        """Traceable ``(scale, stats_vec) -> scale`` update applied on
+        device between the fused call's inner rounds (the reference's
+        queue-drain tuning cadence); None if the kernel has no scale
+        tuning."""
+        return None
+
+    def apply_fused_tuning(self, out):
+        """Adopt the tuning outcome of one fused dispatch on the host."""
+        if self.device_tune_fn() is not None:
+            self.scale = float(out["scale_final"])
+            self._post_fused_stats(out.get("stats"))
+        elif out.get("stats") is not None:
+            tinfo = self.consume_tuning(out["stats"])
+            if tinfo is not None:
+                self.tune(tinfo, update=True)
+
+    def _post_fused_stats(self, stats):
+        """Kernel-specific non-scale bookkeeping from the dispatch's
+        aggregated stats (e.g. the slice expansion warning)."""
 
     def consume_tuning(self, stats):
         """Convert the fused round's stats vector into a tuning_info
@@ -344,6 +376,10 @@ class UnitCubeSampler(InternalSampler):
     first bound update)."""
 
     name = "unitcube"
+    # prior rejection decays exponentially as the threshold rises, and
+    # the first bound refit can only happen at a dispatch boundary —
+    # never chain unit-cube rounds
+    max_rounds_per_dispatch = 1
 
     def _build_propose_fn(self, ns, bound_kind):
         return _unif_propose_fn(self, ns, "cube")
@@ -473,7 +509,16 @@ class RWalkSampler(InternalSampler):
         return rows, tuning_info
 
     def _fused_cfg_key(self):
-        return (self.walks,)
+        return (self.walks, self.facc, self.ncdim)
+
+    def device_tune_fn(self):
+        facc0, ncdim = self.facc, self.ncdim
+
+        def tune_fn(scale, stats):  # stats = (n_accept, n_reject, ...)
+            facc = stats[0] / jnp.maximum(stats[0] + stats[1], 1.0)
+            return scale * jnp.exp((facc - facc0) / ncdim / facc0)
+
+        return tune_fn
 
     def _build_propose_fn(self, ns, bound_kind):
         like = ns.loglikelihood
@@ -547,6 +592,22 @@ class _SliceBase(InternalSampler):
     def _fused_cfg_key(self):
         return (self.slices,
                 bool(self.sampler_kwargs.get("slice_doubling", False)))
+
+    def device_tune_fn(self):
+        def tune_fn(scale, stats):  # stats = (n_expand, n_contract, ...)
+            nexp = jnp.maximum(stats[0], 1.0)
+            mult = jnp.clip(2.0 * nexp / (nexp + stats[1]), 0.5, 2.0)
+            return scale * mult
+
+        return tune_fn
+
+    def _post_fused_stats(self, stats):
+        if stats is not None and bool(stats[2] > 0) and \
+                not self.sampler_kwargs.get("slice_doubling", False):
+            import warnings
+            self.sampler_kwargs["slice_doubling"] = True
+            warnings.warn("Slice interval expanded > 1000 times; enabling "
+                          "Neal (2003) doubling strategy.")
 
     def _build_propose_fn(self, ns, bound_kind):
         like = ns.loglikelihood

@@ -23,7 +23,8 @@ from .bounding import UnitCube, get_bound
 from .internal.samplers import UnitCubeSampler
 from .ops.integrals import LOWL_VAL, compute_integrals, progress_integration
 from .utils.checkpoint import restore_sampler, save_sampler
-from .utils.misc import (DelayTimer, IteratorResult, get_jax_key,
+from .utils.misc import (DelayTimer, IteratorBlock, IteratorResult,
+                         get_jax_key,
                          get_print_func, get_random_generator)
 from .utils.results import Results, RunRecord
 
@@ -544,15 +545,26 @@ class Sampler:
 
     def sample(self, maxiter=None, maxcall=None, dlogz=0.01,
                logl_max=np.inf, add_live=True, save_bounds=True,
-               resume=False):
+               resume=False, per_dispatch=False):
         """Generator yielding one dead point per iteration (reference
-        ``sampler.py:932-1212``)."""
+        ``sampler.py:932-1212``).
+
+        ``per_dispatch=True`` switches to a coarse-grained mode that
+        yields ONE lightweight :class:`IteratorBlock` per fused device
+        dispatch instead of per-record :class:`IteratorResult` objects.
+        The per-iteration records are identical either way (they are
+        bulk-appended to ``saved_run`` at dispatch time); only the
+        generator granularity changes.  ``run_nested`` uses this when
+        progress printing is off, since per-record Python costs more
+        than the device work on wide dispatches.
+        """
         if maxcall is None:
             maxcall = sys.maxsize
         if maxiter is None:
             maxiter = sys.maxsize
         self.save_bounds = save_bounds
         ncall = 0
+        pending_block = None
 
         if self.it == 1 or len(self.saved_run["logl"]) == 0:
             h = 0.0
@@ -640,6 +652,11 @@ class Sampler:
                 accepted_this_call += 1
                 ncall += row["nc"]
                 yield IteratorResult(**row)
+            if pending_block is not None:
+                accepted_this_call += pending_block.n
+                ncall += pending_block.nc
+                yield pending_block
+                pending_block = None
             if terminal_break:
                 break
             if accepted_this_call >= maxiter or ncall >= maxcall:
@@ -697,7 +714,9 @@ class Sampler:
                     self.internal_sampler.run_fused(
                         self, key, self._live_dev, self._live_blob_dev,
                         axes_args, integ, limits)
-                n_real_limit = self.queue_size * self.rounds_per_dispatch
+                # actual dispatch width (the unit-cube phase caps the
+                # chained rounds regardless of rounds_per_dispatch)
+                n_real_limit = len(out["accepts"])
 
             # ---- leftover bookkeeping (checkpoint-exact resume)
             n_cons = min(out["n_consumed"], n_real_limit)
@@ -713,8 +732,12 @@ class Sampler:
                 else:
                     self._leftover = None
             elif n_cons < n_real_limit:
-                props = out["proposals"][n_cons:n_real_limit]
-                lo = {"prop": np.array(props, dtype=np.float64)}
+                # rare (dispatch ended early): fetch the device-resident
+                # proposals block for checkpoint-exact leftover replay
+                props = np.asarray(
+                    jax.device_get(out["proposals_dev"]),
+                    dtype=np.float64)[n_cons:n_real_limit]
+                lo = {"prop": props}
                 if self.blob:
                     all_blob = jax.device_get(out["qblob"])
                     lo["blob"] = jax.tree.map(
@@ -743,16 +766,19 @@ class Sampler:
                                logvol=logvol, loglstar=loglstar)
             nc_round = out["nc_used"]
             self.ncall += nc_round
-            staged_nc = int(np.sum(
-                out["records"][out["accepts"], rec_off + 6]))
-            ncall += nc_round - staged_nc  # discarded entries' calls
+            if per_dispatch:
+                # the whole dispatch's calls are charged at block yield
+                pending_block = IteratorBlock(n=0, nc=nc_round)
+            else:
+                staged_nc = int(np.sum(
+                    out["records"][out["accepts"], rec_off + 6]))
+                ncall += nc_round - staged_nc  # discarded entries' calls
             self.eff = 100.0 * (self.it - 1) / max(self.ncall, 1)
 
-            # tuning once per round (the queue-drain cadence)
+            # scale tuning ran on device at every queue refill; adopt
+            # the final scale (plus any non-scale bookkeeping) here
             if out["stats"] is not None and not self.unit_cube_sampling:
-                tinfo = self.internal_sampler.consume_tuning(out["stats"])
-                if tinfo is not None:
-                    self.internal_sampler.tune(tinfo, update=True)
+                self.internal_sampler.apply_fused_tuning(out)
 
             # terminal stop reasons reported by the device round:
             # 1=dlogz, 2=logl_max, 4=live plateau, 8/16=max iter/calls
@@ -799,26 +825,30 @@ class Sampler:
                 if self.unit_cube_sampling:
                     row_stats = [None] * n_new
                 else:
-                    ls = out["proposals"][acc_idx, -2:]
+                    ls = out["lane_stats"][acc_idx]
                     row_stats = [
                         self.internal_sampler.row_stats(*ls[j])
                         for j in range(n_new)
                     ]
                 D["proposal_stats"].extend(row_stats)
-                dlz = out["delta_logz"]
-                for j, i in enumerate(acc_idx):
-                    self._pending_records.append(dict(
-                        worst=int(worsts[j]),
-                        ustar=recs[i, 1:1 + ndim],
-                        vstar=recs[i, 1 + ndim:rec_off],
-                        loglstar=tail[j, 0], logvol=tail[j, 1],
-                        logwt=tail[j, 2], logz=tail[j, 3],
-                        logzvar=tail[j, 4], h=tail[j, 5],
-                        nc=int(tail[j, 6]), blob=old_blob_rows[j],
-                        worst_it=int(tail[j, 7]), boundidx=int(bidx[j]),
-                        bounditer=bounditer, eff=self.eff,
-                        delta_logz=float(dlz[i]),
-                        proposal_stats=row_stats[j]))
+                if per_dispatch:
+                    pending_block = IteratorBlock(n=n_new,
+                                                  nc=pending_block.nc)
+                else:
+                    dlz = out["delta_logz"]
+                    for j, i in enumerate(acc_idx):
+                        self._pending_records.append(dict(
+                            worst=int(worsts[j]),
+                            ustar=recs[i, 1:1 + ndim],
+                            vstar=recs[i, 1 + ndim:rec_off],
+                            loglstar=tail[j, 0], logvol=tail[j, 1],
+                            logwt=tail[j, 2], logz=tail[j, 3],
+                            logzvar=tail[j, 4], h=tail[j, 5],
+                            nc=int(tail[j, 6]), blob=old_blob_rows[j],
+                            worst_it=int(tail[j, 7]), boundidx=int(bidx[j]),
+                            bounditer=bounditer, eff=self.eff,
+                            delta_logz=float(dlz[i]),
+                            proposal_stats=row_stats[j]))
 
         self._ensure_live_mirror()
 
@@ -924,13 +954,17 @@ class Sampler:
             timer = DelayTimer(checkpoint_every)
         try:
             ncall = self.ncall
+            # without progress printing, consume whole device dispatches
+            # (per-record Python costs more than the device work)
+            fast = not print_progress
             for results in self.sample(maxiter=maxiter, maxcall=maxcall,
                                        dlogz=dlogz, logl_max=logl_max,
                                        save_bounds=save_bounds,
-                                       resume=resume, add_live=add_live):
+                                       resume=resume, add_live=add_live,
+                                       per_dispatch=fast):
                 ncall += results.nc
-                niter = self.it - 1
                 if print_progress:
+                    niter = self.it - 1
                     print_func(results, niter, ncall, dlogz=dlogz)
                 if (checkpoint_file is not None and timer.is_time()):
                     self.save(checkpoint_file)

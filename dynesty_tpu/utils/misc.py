@@ -26,6 +26,11 @@ IteratorResult = namedtuple("IteratorResult", [
     "eff", "delta_logz", "proposal_stats"
 ])
 
+# coarse-grained yield of Sampler.sample(per_dispatch=True): one fused
+# device dispatch worth of iterations (n accepted records, nc likelihood
+# calls including discarded speculative proposals)
+IteratorBlock = namedtuple("IteratorBlock", ["n", "nc"])
+
 
 def get_random_generator(seed=None):
     """A PCG64 numpy Generator from a seed / SeedSequence / Generator."""
