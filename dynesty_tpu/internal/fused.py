@@ -333,7 +333,8 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         ])
         return flat, proposals, live, live_blob, old_blobs, qblobs
 
-    fused_jit = jax.jit(fused)
+    from .kernels import f32_precision
+    fused_jit = jax.jit(f32_precision(fused))
     width = 1 + ndim + npdim + 9
     layout = {
         "rec_shape": (rounds * q, width),

@@ -38,6 +38,27 @@ __all__ = [
 _NEG_INF = -jnp.inf
 
 
+def f32_precision(fn):
+    """Trace ``fn`` with float32-accurate matmul precision.
+
+    TPUs default to bfloat16 matmul inputs, which perturbs log-likelihood
+    values by up to ~0.4% of the summed terms — and, worse, perturbs them
+    DIFFERENTLY per call site (XLA fusion-dependent rounding), so a point
+    accepted against a threshold in one kernel can re-evaluate below it
+    in another.  Nested sampling only needs the likelihood to be a
+    consistent function of position, so every kernel that evaluates user
+    code or bound geometry is traced at float32 precision (bf16x3 passes
+    on the MXU; negligible cost at these sizes)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _tree_where(mask, a, b):
     """Select ``a`` where mask else ``b`` over matching pytrees; ``mask``
     is (Q,) and leaves are (Q, ...)."""
@@ -266,7 +287,7 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
         packed = pack_columns(q, dtype, bu, bv, bl, nc, n_prop, n_filled)
         return packed, bb
 
-    return jax.jit(round_fn)
+    return jax.jit(f32_precision(round_fn))
 
 
 # ==========================================================================
@@ -328,7 +349,7 @@ def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
         packed = pack_columns(q, dtype, u, v, logl, n_acc, n_rej)
         return packed, blob
 
-    return jax.jit(round_fn)
+    return jax.jit(f32_precision(round_fn))
 
 
 def _mask_from_indices(indices, ndim):
@@ -680,4 +701,4 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
                               st["warn"])
         return packed, st["blob"]
 
-    return jax.jit(round_fn if doubling else round_fn_sm)
+    return jax.jit(f32_precision(round_fn if doubling else round_fn_sm))

@@ -158,6 +158,10 @@ class LogLikelihood:
                 return v, lv, b
             return v, out, None
 
+        # f32-accurate matmuls: TPU's default bf16 matmul precision would
+        # make logl inconsistent across call sites (see kernels.f32_precision)
+        from .kernels import f32_precision
+
         if self.mode == "vectorized":
             def batch(u):
                 v = ptform(u)
@@ -166,8 +170,8 @@ class LogLikelihood:
                     lv, b = out
                     return v, lv, b
                 return v, out, None
-            return jax.jit(batch)
-        return jax.jit(jax.vmap(one_point))
+            return jax.jit(f32_precision(batch))
+        return jax.jit(f32_precision(jax.vmap(one_point)))
 
     # -- host path --------------------------------------------------------
 

@@ -12,6 +12,7 @@ host-side geometry stays off the device hot path.
 """
 
 import copy
+import itertools
 import math
 import sys
 import warnings
@@ -27,6 +28,9 @@ from .utils.misc import (DelayTimer, IteratorBlock, IteratorResult,
                          get_jax_key,
                          get_print_func, get_random_generator)
 from .utils.results import Results, RunRecord
+
+# global bound-refit counter (see Sampler.bound_version)
+_BOUND_VERSION = itertools.count(1)
 
 __all__ = ["Sampler", "initialize_live_points"]
 
@@ -198,7 +202,11 @@ class Sampler:
         self.ncall_at_last_update = 0
 
         self.unit_cube_sampling = True
-        self.bound_version = 0  # bumped at each refit (device upload cache)
+        self.bound_version = next(_BOUND_VERSION)  # globally unique per
+        # refit: device-array caches key on it, and internal-sampler
+        # instances (and their caches) are shared across the dynamic
+        # layer's batch samplers — per-instance counters would collide
+        # and serve a previous batch's bound arrays
         self.bound = UnitCube(self.ncdim)
         self.bound_list = [self.bound]
         self.nbound = 1
@@ -267,7 +275,7 @@ class Sampler:
         self.bound = UnitCube(self.ncdim)
         self.bound_list = [self.bound]
         self.nbound = 1
-        self.bound_version += 1
+        self.bound_version = next(_BOUND_VERSION)
         self.logl_first_update = None
         self.ncall_at_last_update = 0
         self.bound_next = get_bound(self.bounding, self.ncdim)
@@ -289,7 +297,7 @@ class Sampler:
                           rstate=self.rstate,
                           bootstrap=self.bound_bootstrap,
                           pool=None)
-        self.bound_version += 1
+        self.bound_version = next(_BOUND_VERSION)
         if self.bound_enlarge != 1.0:
             self.bound.scale_to_logvol(self.bound.logvol +
                                        np.log(self.bound_enlarge))
