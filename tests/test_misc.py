@@ -207,3 +207,21 @@ def test_proposal_stats_plumbing():
         filled = [s for s in stats if s is not None]
         assert len(filled) > 0
         assert set(filled[-1].keys()) == keys, (sample, filled[-1])
+
+
+def test_bound_versions_globally_unique():
+    # Regression: internal-sampler instances (and their device bound-array
+    # caches, keyed on bound_version) are shared across the dynamic
+    # layer's batch samplers.  Per-instance version counters collided and
+    # served batch N the bound uploaded for batch N-1, truncating its
+    # seed distribution and biasing merged logz by ~+0.1 per batch.
+    loglike, ptform = _gau()
+    seen = set()
+    for _ in range(3):
+        rstate = get_rstate()
+        s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=60,
+                                bound="single", sample="unif",
+                                rstate=rstate, queue_size=16)
+        s.run_nested(maxiter=80, print_progress=False, add_live=False)
+        assert s.bound_version not in seen
+        seen.add(s.bound_version)
