@@ -1,15 +1,16 @@
 #!/usr/bin/env python
 """Headline benchmark: 25-D correlated normal, static nested sampling with
-random-slice proposals (the reference's heaviest published config:
-``demos/Examples -- 25-D Correlated Normal.ipynb``, ncall ~2.5-3.6M).
+random-slice proposals, slices=25 (the reference's heaviest published
+config: ``demos/Examples -- 25-D Correlated Normal.ipynb``, published
+ncall 2,490,333; measured on this host: 3,182,846).
 
 Prints ONE JSON line:
   {"metric": "wallclock_25d_rslice", "value": <seconds>, "unit": "s",
    "vs_baseline": <reference_seconds / our_seconds>, ...}
 
 ``vs_baseline`` compares against reference dynesty (pure numpy, one CPU
-core) measured on this machine: 101.6 s (ncall 3.59M, logz -74.77+-0.51;
-measured 2026-08-16 on the driver host, script in the docstring history).
+core) at the SAME config measured on this machine: 109.2 s (slices=25,
+ncall 3.18M, logz -74.12+-0.47; measured 2026-08-16 on the driver host).
 Set BENCH_MEASURE_REFERENCE=1 to re-measure the reference instead of using
 the recorded constant (requires /root/reference mounted).
 
@@ -24,11 +25,12 @@ import time
 
 import numpy as np
 
-REF_SECONDS = 101.6  # reference dynesty, same problem, this host (CPU)
+REF_SECONDS = 109.2  # reference dynesty, same problem+config, this host
 NDIM = 25
 NLIVE = 500
 QUEUE = 256
-ROUNDS = 24  # fused rounds per device dispatch (amortizes relay latency)
+ROUNDS = 24
+SLICES = 25  # fused rounds per device dispatch (amortizes relay latency)
 SEED = 56432
 TRUTH = -NDIM * np.log(20.0)
 
@@ -62,7 +64,8 @@ def _measure_reference():
     rstate = np.random.Generator(np.random.PCG64(SEED))
     t0 = time.time()
     s = refdy.NestedSampler(loglike, ptform, NDIM, nlive=NLIVE,
-                            bound="single", sample="rslice", rstate=rstate)
+                            bound="single", sample="rslice", slices=SLICES,
+                            rstate=rstate)
     s.run_nested(print_progress=False)
     return time.time() - t0
 
@@ -89,6 +92,7 @@ def main():
     rstate = np.random.Generator(np.random.PCG64(1))
     warm = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=NLIVE,
                                bound="single", sample="rslice",
+                               slices=SLICES,
                                rstate=rstate, queue_size=QUEUE,
                                rounds_per_dispatch=ROUNDS)
     # two dispatches: the first runs the unit-cube variant, the second
@@ -102,6 +106,7 @@ def main():
     t0 = time.time()
     sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=NLIVE,
                                   bound="single", sample="rslice",
+                                  slices=SLICES,
                                   rstate=rstate, queue_size=QUEUE,
                                   rounds_per_dispatch=ROUNDS)
     sampler.run_nested(print_progress=False)

@@ -193,8 +193,11 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         bound_bootstrap=main_sampler.bound_bootstrap,
         bound_enlarge=main_sampler.bound_enlarge,
         rounds_per_dispatch=getattr(main_sampler, "rounds_per_dispatch",
-                                    1))
+                                    1),
+        proposal_mode=getattr(main_sampler, "proposal_mode", "batch"))
     batch_sampler.save_bounds = save_bounds
+    batch_sampler.pool = main_sampler.pool
+    batch_sampler.use_pool = getattr(main_sampler, "use_pool", {})
     batch_sampler.logl_first_update = main_sampler.sampler.logl_first_update
 
     if logl_bounds is None:
@@ -258,6 +261,7 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
             raise RuntimeError("Only one live point selected for the "
                                "batch seed; please report.")
         batch_sampler.nlive = cur_nlive
+        batch_sampler._apply_queue_clamp()
         batch_sampler.live_u = saved_u[subset].copy()
         batch_sampler.live_v = saved_v[subset].copy()
         batch_sampler.live_logl = saved_logl[subset].copy()
@@ -266,6 +270,11 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         batch_sampler.update_bound_if_needed(logl_min)
         batch_sampler.internal_sampler.scale = live_scale
 
+        # seed with a narrow queue: the fused batch loop below never
+        # consumes leftovers of this host-side queue, so a wide one only
+        # strands (billed) evaluations
+        batch_sampler.queue_size = min(batch_sampler.queue_size,
+                                       max(16, nlive_new // 8))
         live_u = np.empty((nlive_new, main_sampler.ndim))
         live_v = np.empty((nlive_new, saved_v.shape[1]))
         live_logl = np.empty(nlive_new)
@@ -290,14 +299,27 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
                                     eff=main_sampler.eff,
                                     delta_logz=np.nan,
                                     proposal_stats=pstats_i))
+    # bill and drop any proposals left in the seeding queue: the fused
+    # batch loop below never consumes them, but their evaluations
+    # happened (exact invocation accounting)
+    if batch_sampler.queue:
+        ncall += sum(r["nc"] or 0 for r in batch_sampler.queue)
+        batch_sampler.queue = []
+        batch_sampler.nqueue = 0
+        batch_sampler._pending_tuning = None
     niter += nlive_new
     batch_sampler.nlive = nlive_new
+    batch_sampler._apply_queue_clamp()
     batch_sampler.live_u = live_u
     batch_sampler.live_v = live_v
     batch_sampler.live_logl = live_logl
     batch_sampler.live_bound = live_bound
     batch_sampler.live_blobs = live_blobs
     batch_sampler.live_it = live_it
+    # thread birth threshold of the batch seeds: the prior (-inf) for a
+    # fresh prior-sampled batch, else the batch's lower bracket
+    batch_sampler.live_birth = np.full(
+        nlive_new, -np.inf if psel else logl_min)
     if psel:
         batch_sampler.logvol_init = logvol0
 
@@ -321,7 +343,7 @@ class DynamicSampler:
                  nlive0=None, ncdim=None, rstate=None, queue_size=None,
                  bound_update_interval_ratio=None, first_bound_update=None,
                  bound_bootstrap=0, bound_enlarge=1.0, blob=False,
-                 cite=None, rounds_per_dispatch=1):
+                 cite=None, rounds_per_dispatch=1, proposal_mode="batch"):
         self.loglikelihood = loglikelihood
         self.ndim = ndim
         self.ncdim = ncdim or ndim
@@ -337,8 +359,10 @@ class DynamicSampler:
         self.rstate = rstate
         self.queue_size = queue_size
         self.rounds_per_dispatch = rounds_per_dispatch
+        self.proposal_mode = proposal_mode
         self.pool = None
         self.mapper = map
+        self.use_pool = {}
 
         self.it = 1
         self.batch = 0
@@ -369,7 +393,7 @@ class DynamicSampler:
                logl_kwargs=None, ptform_args=None, ptform_kwargs=None,
                enlarge=None, bootstrap=None, walks=None, facc=0.5,
                slices=None, ncdim=None, blob=False, likelihood_mode="jax",
-               rounds_per_dispatch=1,
+               rounds_per_dispatch=1, proposal_mode="batch",
                save_evaluation_history=False, history_filename=None):
         """Factory with the reference ``DynamicNestedSampler`` signature
         (``dynesty.py:691-774``)."""
@@ -380,7 +404,8 @@ class DynamicSampler:
                            queue_size, rstate, logl_args, logl_kwargs,
                            ptform_args, ptform_kwargs, enlarge, bootstrap,
                            update_interval, first_update,
-                           save_evaluation_history, history_filename)
+                           save_evaluation_history, history_filename,
+                           use_pool=use_pool)
         ratio = (cfg["bound_update_interval"] / nlive)
         obj = cls(cfg["like"], ndim, cfg["internal_sampler"], cfg["bound"],
                   nlive0=nlive, ncdim=cfg["ncdim"], rstate=cfg["rstate"],
@@ -390,8 +415,12 @@ class DynamicSampler:
                   bound_bootstrap=cfg["bootstrap"],
                   bound_enlarge=cfg["enlarge"], blob=blob,
                   cite=cfg["cite"]("dynamic"),
-                  rounds_per_dispatch=rounds_per_dispatch)
+                  rounds_per_dispatch=rounds_per_dispatch,
+                  proposal_mode=proposal_mode)
         obj.pool = pool
+        obj.use_pool = cfg["use_pool"]
+        if pool is not None:
+            obj.mapper = pool.map
         return obj
 
     # ------------------------------------------------------------------
@@ -441,15 +470,20 @@ class DynamicSampler:
     def results(self):
         """Combined-run results (dynamic format)."""
         d = {}
-        for k in ("nc", "v", "id", "batch", "it", "u", "n", "logwt", "logl",
-                  "logvol", "logz", "logzvar", "h", "batch_nlive",
-                  "batch_logl_bounds", "blob", "proposal_stats"):
+        for k in ("nc", "v", "id", "batch", "it", "u", "n", "birth",
+                  "logwt", "logl", "logvol", "logz", "logzvar", "h",
+                  "batch_nlive", "batch_logl_bounds", "blob",
+                  "proposal_stats"):
             d[k] = np.array(self.saved_run[k])
+        # decode the f32-safe clamp back to -inf (prior-born points)
+        birth = d["birth"].astype(np.float64)
+        birth[birth <= -1e29] = -np.inf
+        d["birth"] = birth
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             results = [("niter", self.it - 1), ("ncall", d["nc"]),
                        ("eff", self.eff), ("samples", d["v"])]
-            for k in ("id", "batch", "it", "u", "n"):
+            for k in ("id", "batch", "it", "u", "n", "birth"):
                 results.append(("samples_" + k, d[k]))
             for k in ("logwt", "logl", "logvol", "logz", "batch_nlive",
                       "batch_logl_bounds", "blob", "proposal_stats"):
@@ -520,7 +554,10 @@ class DynamicSampler:
                 bound_bootstrap=self.bound_bootstrap,
                 bound_enlarge=self.bound_enlarge, blob=self.blob,
                 logvol_init=logvol_init,
-                rounds_per_dispatch=self.rounds_per_dispatch)
+                rounds_per_dispatch=self.rounds_per_dispatch,
+                proposal_mode=getattr(self, "proposal_mode", "batch"))
+            self.sampler.pool = self.pool
+            self.sampler.use_pool = getattr(self, "use_pool", {})
             self.bound_list = self.sampler.bound_list
             self.internal_state = DynamicSamplerStatesEnum.LIVEPOINTSINIT
 
@@ -533,7 +570,8 @@ class DynamicSampler:
                             logvol=results.logvol, logwt=results.logwt,
                             logz=results.logz, logzvar=results.logzvar,
                             h=results.h, nc=results.nc, it=results.worst_it,
-                            n=self.nlive_init, blob=results.blob,
+                            n=results.n, birth=results.birth,
+                            blob=results.blob,
                             boundidx=results.boundidx,
                             bounditer=results.bounditer,
                             scale=self.sampler.internal_sampler.scale,
@@ -564,7 +602,8 @@ class DynamicSampler:
                             logvol=results.logvol, logwt=results.logwt,
                             logz=results.logz, logzvar=results.logzvar,
                             h=results.h, blob=results.blob, nc=results.nc,
-                            it=results.worst_it, n=self.nlive_init - it,
+                            it=results.worst_it, n=results.n,
+                            birth=results.birth,
                             boundidx=results.boundidx,
                             bounditer=results.bounditer,
                             scale=self.sampler.internal_sampler.scale,
@@ -609,6 +648,9 @@ class DynamicSampler:
         if nlive_new <= 2 * self.ncdim:
             warnings.warn("Beware: `nlive_batch <= 2 * ndim`!")
 
+        if resume and self.batch_sampler is None:
+            # killed between batches: nothing mid-flight to re-enter
+            resume = False
         if not resume:
             update_interval = self.__get_update_interval(update_interval,
                                                          nlive_new)
@@ -646,7 +688,8 @@ class DynamicSampler:
             D = dict(id=results.worst, u=results.ustar, v=results.vstar,
                      logl=results.loglstar, nc=results.nc,
                      it=results.worst_it + it0, blob=results.blob,
-                     n=nlive_new, boundidx=results.boundidx,
+                     n=results.n, birth=results.birth,
+                     boundidx=results.boundidx,
                      bounditer=results.bounditer,
                      scale=batch_sampler.internal_sampler.scale,
                      proposal_stats=results.proposal_stats)
@@ -688,7 +731,8 @@ class DynamicSampler:
         for it, results in enumerate(batch_sampler.add_live_points()):
             D = dict(id=results.worst, u=results.ustar, v=results.vstar,
                      logl=results.loglstar, nc=results.nc,
-                     it=results.worst_it + it0, n=nlive_new - it,
+                     it=results.worst_it + it0, n=results.n,
+                     birth=results.birth,
                      blob=results.blob, boundidx=results.boundidx,
                      bounditer=results.bounditer,
                      scale=batch_sampler.internal_sampler.scale,
@@ -716,7 +760,7 @@ class DynamicSampler:
             raise ValueError("No new samples are currently saved.")
         saved_d, new_d = {}, {}
         for k in ("id", "u", "v", "logl", "nc", "boundidx", "it",
-                  "bounditer", "n", "scale", "blob", "logvol",
+                  "bounditer", "n", "birth", "scale", "blob", "logvol",
                   "proposal_stats"):
             saved_d[k] = np.array(self.saved_run[k])
             new_d[k] = np.array(self.new_run[k])
@@ -748,7 +792,8 @@ class DynamicSampler:
                 src, idx = new_d, idx_new
                 idx_new += 1
             for k in ("id", "u", "v", "logl", "nc", "boundidx", "it",
-                      "bounditer", "scale", "blob", "proposal_stats"):
+                      "bounditer", "birth", "scale", "blob",
+                      "proposal_stats"):
                 add_info[k] = src[k][idx]
             self.saved_run.append(add_info)
             self.saved_run["n"].append(nlive)
@@ -894,9 +939,16 @@ class DynamicSampler:
                 mcall = min(maxcall - ncall, maxcall_batch)
                 miter = min(maxiter - niter, maxiter_batch)
                 if mcall > 0 and miter > 0 and use_stop:
+                    # n_mc KL realizations map over the pool when
+                    # use_pool['stop_function'] (reference
+                    # dynamicsampler.py:738-743)
+                    stop_mapper = self.mapper if (
+                        self.pool is not None and getattr(
+                            self, "use_pool", {}).get("stop_function",
+                                                      True)) else map
                     stop, stop_vals = stop_function(res, stop_kwargs,
                                                     rstate=self.rstate,
-                                                    mapper=map,
+                                                    mapper=stop_mapper,
                                                     return_vals=True)
                     stop_val = stop_vals[2]
                 else:

@@ -132,12 +132,31 @@ def _resolve_update_interval(update_interval, internal_sampler, nlive):
     return max(1, int(round(ratio * nlive)))
 
 
+_USE_POOL_KEYS = ("prior_transform", "loglikelihood", "propose_point",
+                  "update_bound", "stop_function")
+
+
+def _parse_use_pool(use_pool):
+    """Validate and default the per-site pool flags (reference
+    ``sampler.py:381-386``).  ``propose_point`` is accepted for API parity
+    but has no separate meaning here: proposals always run as one device
+    batch, and in host mode their likelihood calls already go through the
+    ``loglikelihood`` flag."""
+    use_pool = dict(use_pool or {})
+    for k in use_pool:
+        if k not in _USE_POOL_KEYS:
+            raise ValueError(
+                f"Unknown use_pool key '{k}' (valid: {_USE_POOL_KEYS})")
+    return {k: bool(use_pool.get(k, True)) for k in _USE_POOL_KEYS}
+
+
 def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
                  periodic, reflective, walks, facc, slices, ncdim, blob,
                  likelihood_mode, pool, queue_size, rstate,
                  logl_args, logl_kwargs, ptform_args, ptform_kwargs,
                  enlarge, bootstrap, update_interval, first_update,
-                 save_evaluation_history=False, history_filename=None):
+                 save_evaluation_history=False, history_filename=None,
+                 use_pool=None):
     ncdim = ncdim or ndim
     if ncdim != ndim and sample in ("slice", "rslice"):
         raise ValueError("ncdim unsupported for slice sampling")
@@ -151,15 +170,24 @@ def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
     _check_first_update(first_update)
     rstate = get_random_generator(rstate)
 
+    use_pool = _parse_use_pool(use_pool)
     like = LogLikelihood(loglikelihood, prior_transform, ndim,
                          mode=likelihood_mode, blob=blob, pool=pool,
+                         use_pool_logl=use_pool["loglikelihood"],
+                         use_pool_ptform=use_pool["prior_transform"],
                          logl_args=logl_args, logl_kwargs=logl_kwargs,
                          ptform_args=ptform_args,
                          ptform_kwargs=ptform_kwargs,
                          save_evaluation_history=save_evaluation_history,
                          history_filename=history_filename)
     if queue_size is None:
-        queue_size = max(32, min(nlive, 256))
+        pool_size = (getattr(pool, "njobs", None)
+                     or getattr(pool, "_processes", None))
+        if likelihood_mode == "host" and pool_size:
+            # host mode: the pool's width is the natural batch width
+            queue_size = max(32, min(nlive, 8 * pool_size))
+        else:
+            queue_size = max(32, min(nlive, 256))
     bound_update_interval = _resolve_update_interval(
         update_interval, internal_sampler, nlive)
     return dict(like=like, internal_sampler=internal_sampler,
@@ -167,7 +195,7 @@ def _common_init(loglikelihood, prior_transform, ndim, nlive, bound, sample,
                 first_update=first_update, rstate=rstate,
                 queue_size=queue_size, ncdim=ncdim,
                 bound_update_interval=bound_update_interval,
-                bound=bound,
+                bound=bound, use_pool=use_pool,
                 cite=lambda kind: _get_citations(kind, bound,
                                                  internal_sampler))
 
@@ -184,6 +212,7 @@ class NestedSampler(Sampler):
                  bootstrap=None, walks=None, facc=0.5, slices=None,
                  ncdim=None, blob=False, likelihood_mode="jax",
                  mesh=None, rounds_per_dispatch=1,
+                 proposal_mode="batch",
                  save_evaluation_history=False, history_filename=None):
         cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
                            bound, sample, periodic, reflective, walks, facc,
@@ -191,7 +220,8 @@ class NestedSampler(Sampler):
                            queue_size, rstate, logl_args, logl_kwargs,
                            ptform_args, ptform_kwargs, enlarge, bootstrap,
                            update_interval, first_update,
-                           save_evaluation_history, history_filename)
+                           save_evaluation_history, history_filename,
+                           use_pool=use_pool)
         live_points, logvol_init, init_ncalls = initialize_live_points(
             live_points, cfg["like"], nlive, ndim, cfg["rstate"], blob=blob)
 
@@ -212,9 +242,13 @@ class NestedSampler(Sampler):
             logvol_init=logvol_init,
             cite=cfg["cite"]("static"),
             mesh=mesh,
-            rounds_per_dispatch=rounds_per_dispatch)
+            rounds_per_dispatch=rounds_per_dispatch,
+            proposal_mode=proposal_mode)
         self.ncall = init_ncalls
         self.pool = pool
+        self.use_pool = cfg["use_pool"]
+        if pool is not None:
+            self.mapper = pool.map
 
 
 def DynamicNestedSampler(*args, **kwargs):

@@ -26,9 +26,15 @@ from ..ops.integrals import progress_integration_jax
 __all__ = ["make_fused_round", "unpack_flat", "record_columns",
            "LIVE_EXTRA_COLS"]
 
-# live matrix layout: u | v | logl | it | bound  (floats; ints stored as
-# floats, exact below 2^24 in f32)
-LIVE_EXTRA_COLS = 2
+# live matrix layout: u | v | logl | it | bound | birth  (floats; ints
+# stored as floats, exact below 2^24 in f32).  ``birth`` is the logl
+# threshold above which the point was drawn (-inf, clamped, for points
+# sampled from the whole prior) — the thread decomposition used by the
+# error analysis (resample/unravel) needs it under batched death/refill,
+# where a refilled slot is NOT a continuation of the thread that died in
+# it (the refill is drawn above the round threshold, not above the
+# slot's own death).
+LIVE_EXTRA_COLS = 3
 
 
 def record_columns(ndim, npdim):
@@ -36,13 +42,30 @@ def record_columns(ndim, npdim):
     names = (["worst"] + [f"u{i}" for i in range(ndim)] +
              [f"v{i}" for i in range(npdim)] +
              ["logl", "logvol", "logwt", "logz", "logzvar", "h", "nc",
-              "worst_it", "boundidx"])
+              "worst_it", "boundidx", "n", "birth"])
     return names
 
 
 def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
-                     blob=False, rounds=1, tune_fn=None):
+                     blob=False, rounds=1, tune_fn=None, mode="batch",
+                     mesh=None):
     """Wrap a proposal round into a fused propose+consume device call.
+
+    ``mode`` selects the batching semantics:
+
+    * ``'batch'`` (default) — batched death/refill: each round kills the
+      ``q`` worst live points at the shared threshold ``sorted_logl[q-1]``
+      and refills all ``q`` at that SAME threshold, recording each death
+      with the varying-live-count shrinkage ``dlv_j = log((n_j+1)/n_j)``,
+      ``n_j = nlive - j``.  Exact (it is ordinary dynamic-nested-sampling
+      bookkeeping with a sawtooth live-point profile) and waste-free: no
+      proposal is ever generated against a stale threshold, so MCMC
+      kernels never discard work.  Requires ``q < nlive``.
+    * ``'queue'`` — the reference's speculative proposal queue
+      (``sampler.py:732-778``): all ``q`` proposals are generated at the
+      round-start threshold and consumed against the rising one,
+      discarding (and charging) entries that fall below it; the live
+      count stays constant.
 
     The consume scan carries only the live log-likelihood vector and an
     "occupant" index per live slot (-1 = original point, else the queue
@@ -71,32 +94,93 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
     ``ctrl`` packs integrator state, stop limits and the proposal scale
     into one vector (one upload): [logz, logzvar, h, logvol, loglstar,
     plateau_mode, plateau_counter, plateau_logdvol, it, dlogz, logl_max,
-    max_accepts, max_nc, scale].
+    max_accepts, max_nc, scale, kills0, rounds_active, birth0].
+    ``kills0`` is the number of deaths already recorded in the round
+    being (re)entered — nonzero only when replaying the leftover tail of
+    an interrupted batch-mode round, so its varying-live-count accounting
+    continues where it stopped.  ``birth0`` (replay only) is the
+    interrupted round's proposal threshold, recorded as the birth of any
+    refills made while consuming the replayed tail.
     """
+    assert mode in ("batch", "queue")
+    if mode == "batch" and q >= nlive:
+        raise ValueError(
+            f"batch mode needs q < nlive (got q={q}, nlive={nlive})")
+    if mesh is not None:
+        from ..parallel.mesh import lane_constrainer, replicate
+        _lane = lane_constrainer(mesh)
+
+        def _repl(x):
+            return replicate(mesh, x)
+    else:
+        _lane = None
+
+        def _repl(x):
+            return x
     il = ndim + npdim  # logl column
     ii = il + 1  # live_it column
     ib = il + 2  # live_bound column
+    ibirth = il + 3  # live_birth column
     dlv_default = float(np.log1p(1.0 / nlive))
-    plateau_base = float(np.log(1.0 / (nlive + 1)))
 
     def one_round(rkey, live, live_blob, integ, counters, limits, scale,
-                  axes_args):
+                  axes_args, kills0, birth0):
         """One propose+consume round; counters/done flow in and out."""
         k_sel, k_prop = jax.random.split(rkey)
         live_logl0 = live[:, il]
-        loglstar0 = jnp.min(live_logl0)
+        if mode == "batch":
+            # shared kill threshold: the q-th smallest live logl.  When
+            # that order statistic already equals the live maximum (a
+            # plateau reaching into the kill set — e.g. a flat
+            # likelihood), proposing above it is unsatisfiable and the
+            # rejection kernels would spin; saturate to the largest
+            # value STRICTLY below the maximum instead (-inf on a full
+            # plateau, where the consume scan's plateau stop fires
+            # before anything is consumed).
+            sorted_logl = jnp.sort(live_logl0)
+            lmax = sorted_logl[-1]
+            cand = sorted_logl[q - 1]
+            fallback = jnp.max(
+                jnp.where(live_logl0 < lmax, live_logl0,
+                          jnp.asarray(-jnp.inf, live_logl0.dtype)))
+            loglstar0 = jnp.where(cand < lmax, cand, fallback)
+        else:
+            loglstar0 = jnp.min(live_logl0)
+        if kind == "replay":
+            # replayed entries were generated at the INTERRUPTED round's
+            # threshold, which the host passes through ctrl — the live
+            # state here is already partially refilled, so recomputing
+            # the threshold would overstate the refill births
+            birth_new = birth0
+        else:
+            birth_new = loglstar0
 
         (qu, qv, qlogl, qblob, qnc, stats,
          lane_stats) = propose_fn(
             k_sel, k_prop, live, live_blob, axes_args, scale, loglstar0)
+        if mesh is not None:
+            # parallel/sequential boundary: the kernels ran with the lane
+            # axis partitioned across the mesh; the consume scan runs on
+            # replicated state, so the tiny per-lane results are gathered
+            # here (one all-gather of a few KB per round, over ICI)
+            qu, qv, qlogl, qnc = (_repl(qu), _repl(qv), _repl(qlogl),
+                                  _repl(qnc))
+            qblob = _repl(qblob)
+            lane_stats = _repl(lane_stats)
 
         it0 = integ["it"]
 
         def body(carry, entry):
             (live_logl, occupant, logz, logzvar, h, logvol, loglstar,
              p_mode, p_counter, p_logdvol, n_acc, n_cons, nc_accum,
-             nc_used, done, reason) = carry
+             nc_used, done, reason, racc) = carry
             i, e_logl, e_nc = entry
+            # live-point count charged to this death (sawtooth in batch
+            # mode: the round's kills shrink it until the refill)
+            if mode == "batch":
+                n_now = (nlive - racc).astype(dtype)
+            else:
+                n_now = jnp.asarray(float(nlive), dtype)
 
             delta_logz = jnp.logaddexp(
                 0.0, jnp.max(live_logl) + logvol - logz)
@@ -123,12 +207,17 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                 live_logl == loglstar_new).astype(jnp.int32)
             enter = (~p_mode) & (nplateau > 1) & (~done)
             p_counter = jnp.where(enter, nplateau, p_counter)
-            p_logdvol = jnp.where(enter, plateau_base + logvol,
+            p_logdvol = jnp.where(enter,
+                                  -jnp.log(n_now + 1.0) + logvol,
                                   p_logdvol)
             p_mode = p_mode | enter
+            if mode == "batch":
+                dlv_now = jnp.log1p(1.0 / n_now)
+            else:
+                dlv_now = jnp.asarray(dlv_default, dtype)
             cur_dlv = jnp.where(
                 p_mode, -jnp.log1p(-jnp.exp(p_logdvol - logvol)),
-                dlv_default)
+                dlv_now)
 
             accept = (~done) & (e_logl > loglstar_new)
             consume = ~done
@@ -160,12 +249,14 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             p_counter = jnp.where(accept & p_mode, p_counter - 1,
                                   p_counter)
             p_mode = p_mode & ~(p_mode & (p_counter == 0))
+            racc = racc + accept
 
             out = (worst, src, accept, loglstar_new, logvol_new, logwt,
-                   logz_new, logzvar_new, h_new, nc_this, delta_logz)
+                   logz_new, logzvar_new, h_new, nc_this, delta_logz,
+                   n_now)
             return (live_logl, occupant, logz, logzvar, h, logvol,
                     loglstar, p_mode, p_counter, p_logdvol, n_acc,
-                    n_cons, nc_accum, nc_used, done, reason), out
+                    n_cons, nc_accum, nc_used, done, reason, racc), out
 
         occupant0 = jnp.full((nlive,), -1, jnp.int32)
         init = (live_logl0, occupant0,
@@ -175,14 +266,14 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                 integ["plateau_logdvol"],
                 counters["n_acc"], counters["n_cons"],
                 counters["nc_accum"], counters["nc_used"],
-                counters["done"], counters["reason"])
+                counters["done"], counters["reason"], kills0)
         lanes = jnp.arange(q, dtype=jnp.int32)
         carry, outs = jax.lax.scan(body, init, (lanes, qlogl, qnc))
         (live_logl_f, occupant_f, logz, logzvar, h, logvol, loglstar,
          p_mode, p_counter, p_logdvol, n_acc, n_cons, nc_accum, nc_used,
-         done, reason) = carry
+         done, reason, _racc) = carry
         (worsts, srcs, accepts, r_logl, r_logvol, r_logwt, r_logz,
-         r_logzvar, r_h, r_nc, r_dlogz) = outs
+         r_logzvar, r_h, r_nc, r_dlogz, r_n) = outs
 
         # -- vectorized record/live assembly -----------------------------
         acc_before = jnp.cumsum(accepts.astype(jnp.int32)) - accepts
@@ -197,10 +288,15 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         it_dead = jnp.where(from_orig, live[worsts, ii],
                             entry_it[jnp.maximum(srcs, 0)])
         bound_dead = jnp.where(from_orig, live[worsts, ib], -1.0)
+        # a dead point that was itself accepted earlier this round (queue
+        # mode only) was born at this round's threshold
+        birth_dead = jnp.where(from_orig, live[worsts, ibirth],
+                               birth_new)
         recs = jnp.concatenate([
             worsts.astype(dtype)[:, None], u_dead, v_dead,
             jnp.stack([r_logl, r_logvol, r_logwt, r_logz, r_logzvar,
-                       r_h, r_nc.astype(dtype), it_dead, bound_dead],
+                       r_h, r_nc.astype(dtype), it_dead, bound_dead,
+                       r_n.astype(dtype), birth_dead],
                       axis=1),
         ], axis=1)
         if live_blob is not None:
@@ -220,7 +316,9 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         new_rows = jnp.concatenate([
             qu[lastc], qv[lastc],
             jnp.stack([qlogl[lastc], entry_it[lastc],
-                       jnp.full((nlive,), -1.0, dtype)], axis=1),
+                       jnp.full((nlive,), -1.0, dtype),
+                       jnp.broadcast_to(birth_new, (nlive,)).astype(
+                           dtype)], axis=1),
         ], axis=1)
         live_out = jnp.where(replaced[:, None], new_rows, live)
         if live_blob is not None:
@@ -247,10 +345,15 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             [qu, qv, qlogl[:, None], qnc.astype(dtype)[:, None],
              lane_stats.astype(dtype)], axis=1)
         round_out = (recs, accepts, r_dlogz, proposals, stats_vec,
-                     old_blobs, qblob)
+                     old_blobs, qblob, loglstar0.astype(dtype))
         return live_out, live_blob_out, integ_out, counters_out, round_out
 
     def fused(key, live, live_blob, axes_args, ctrl):
+        if mesh is not None:
+            # live state, bound arrays and control scalars are replicated
+            # on every chip; only the lane axis is partitioned
+            live, live_blob = _repl(live), _repl(live_blob)
+            axes_args, ctrl = _repl(axes_args), _repl(ctrl)
         integ = {
             "logz": ctrl[0], "logzvar": ctrl[1], "h": ctrl[2],
             "logvol": ctrl[3], "loglstar": ctrl[4],
@@ -265,35 +368,88 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             "max_nc": ctrl[12].astype(jnp.int32),
         }
         scale0 = ctrl[13]
+        kills0 = ctrl[14].astype(jnp.int32)
+        # replay only: the interrupted round's proposal threshold (birth
+        # of any refills made while consuming the replayed tail)
+        birth0 = ctrl[16] if ctrl.shape[0] > 16 else ctrl[4]
+        # runtime cap on the chained rounds that consume/bill work: the
+        # host shrinks it near a stopping criterion so a terminal stop
+        # does not strand (and bill) a mostly-unused speculative dispatch
+        # — same compiled program, no re-trace.  Gated rounds still
+        # execute on device (static graph) but consume nothing, report
+        # zero nc, and are excluded from tuning statistics.
+        rounds_active = ctrl[15].astype(jnp.int32)
         counters = {
             "n_acc": jnp.int32(0), "n_cons": jnp.int32(0),
             "nc_accum": jnp.int32(0), "nc_used": jnp.int32(0),
             "done": jnp.asarray(False), "reason": jnp.int32(0),
         }
 
-        def round_step(carry, rkey):
-            live, live_blob, integ, counters, scale = carry
-            was_done = counters["done"]
-            live, live_blob, integ, counters, round_out = one_round(
-                rkey, live, live_blob, integ, counters, limits, scale,
-                axes_args)
-            if tune_fn is not None:
-                # per-queue-refill scale adaptation (reference cadence:
-                # tune when the proposal queue drains, sampler.py:757-764)
-                scale = jnp.where(was_done, scale,
-                                  tune_fn(scale, round_out[4]).astype(
-                                      scale.dtype))
-            return (live, live_blob, integ, counters, scale), round_out
+        def _zero_blob_like(live_blob):
+            if live_blob is None:
+                return None
+            return jax.tree.map(
+                lambda b: jnp.zeros((q,) + b.shape[1:], b.dtype),
+                live_blob)
+
+        def round_step(carry, rinp):
+            rkey, ridx = rinp
+            # rounds past the runtime cap are skipped entirely via
+            # lax.cond (no likelihood work, nothing billed)
+            forced_off = ridx >= rounds_active
+
+            def do_round(carry):
+                live, live_blob, integ, counters, scale = carry
+                was_done = counters["done"]
+                # the interrupted-round kill offset applies only to the
+                # first chained round of a dispatch (replay continuation)
+                rkills = jnp.where(ridx == 0, kills0, 0)
+                live, live_blob, integ, counters, round_out = one_round(
+                    rkey, live, live_blob, integ, counters, limits,
+                    scale, axes_args, rkills, birth0)
+                if tune_fn is not None:
+                    # per-queue-refill scale adaptation (reference
+                    # cadence: tune when the proposal queue drains,
+                    # sampler.py:757-764)
+                    scale = jnp.where(was_done, scale,
+                                      tune_fn(scale,
+                                              round_out[4]).astype(
+                                                  scale.dtype))
+                return (live, live_blob, integ, counters, scale), \
+                    round_out
+
+            def skip_round(carry):
+                live, live_blob, integ, counters, scale = carry
+                width = 1 + ndim + npdim + 11
+                round_out = (
+                    jnp.zeros((q, width), dtype),
+                    jnp.zeros((q,), bool),
+                    jnp.zeros((q,), dtype),
+                    jnp.zeros((q, ndim + npdim + 4), dtype),
+                    jnp.zeros((4,), dtype),
+                    _zero_blob_like(live_blob),
+                    _zero_blob_like(live_blob),
+                    jnp.zeros((), dtype),
+                )
+                return carry, round_out
+
+            return jax.lax.cond(forced_off, skip_round, do_round, carry)
 
         rkeys = jax.random.split(key, rounds)
         (live, live_blob, integ, counters, scale), stacked = jax.lax.scan(
-            round_step, (live, live_blob, integ, counters, scale0), rkeys)
+            round_step, (live, live_blob, integ, counters, scale0),
+            (rkeys, jnp.arange(rounds, dtype=jnp.int32)))
         (recs, accepts, r_dlogz, proposals, stats_vecs, old_blobs,
-         qblobs) = stacked
+         qblobs, round_thresholds) = stacked
         recs = recs.reshape(rounds * q, -1)
         accepts = accepts.reshape(rounds * q)
         r_dlogz = r_dlogz.reshape(rounds * q)
         proposals = proposals.reshape(rounds * q, -1)
+        if mesh is not None:
+            # stays device-resident AND lane-sharded (fetched only for
+            # leftover replay); also the output-sharding evidence that
+            # the round really was partitioned (tests/test_parallel.py)
+            proposals = _lane(proposals)
         lane_stats = proposals[:, -2:]
         stats_vec = stats_vecs.sum(axis=0)
         if old_blobs is not None:
@@ -310,6 +466,9 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             integ["plateau_logdvol"],
             (ctrl[8].astype(jnp.int32) + counters["n_acc"]).astype(dtype),
         ])
+        # total logical evals LAUNCHED this dispatch (consumed or not):
+        # the basis for exact terminal ncall accounting on the host
+        nc_launched = proposals[:, ndim + npdim + 1].sum()
         info_vec = jnp.stack([
             counters["n_acc"].astype(dtype),
             counters["nc_used"].astype(dtype),
@@ -317,6 +476,7 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             counters["n_cons"].astype(dtype),
             counters["reason"].astype(dtype),
             scale.astype(dtype),
+            nc_launched.astype(dtype),
         ])
         # the full proposals block stays on device: it is only needed
         # for leftover replay when a dispatch ends early, so the common
@@ -330,19 +490,21 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             accepts.astype(dtype),
             r_dlogz.astype(dtype),
             lane_stats.astype(dtype).ravel(),
+            round_thresholds.astype(dtype).reshape(rounds),
         ])
         return flat, proposals, live, live_blob, old_blobs, qblobs
 
     from .kernels import f32_precision
     fused_jit = jax.jit(f32_precision(fused))
-    width = 1 + ndim + npdim + 9
+    width = 1 + ndim + npdim + 11
     layout = {
         "rec_shape": (rounds * q, width),
         "prop_shape": (rounds * q, ndim + npdim + 4),
         "n_integ": 9,
-        "n_info": 6,
+        "n_info": 7,
         "n_stats": 4,
         "q": rounds * q,
+        "rounds": rounds,
         "ndim": ndim,
         "npdim": npdim,
     }
@@ -365,6 +527,8 @@ def unpack_flat(flat, layout):
     accepts = flat[pos:pos + q] > 0.5; pos += q
     delta_logz = flat[pos:pos + q]; pos += q
     lane_stats = flat[pos:pos + q * 2].reshape(q, 2); pos += q * 2
+    rounds = layout.get("rounds", 1)
+    round_thresholds = flat[pos:pos + rounds]; pos += rounds
     return {
         "records": recs,
         "integ": {
@@ -380,10 +544,12 @@ def unpack_flat(flat, layout):
         "n_consumed": int(info[3]),
         "done_reason": int(info[4]),
         "scale_final": float(info[5]),
+        "nc_launched": int(info[6]),
         "stats": stats,
         "accepts": accepts,
         "delta_logz": delta_logz,
         "lane_stats": lane_stats,
+        "round_thresholds": round_thresholds,
     }
 
 
@@ -392,13 +558,17 @@ def unpack_flat(flat, layout):
 
 
 def select_starts(k_sel, live, logl_col, q, bound_kind, axes_args, dtype,
-                  eye_dim=None):
-    """Pick Q start rows among live points above the threshold, plus
-    per-lane random axes from the bound (volume-weighted for ellipsoid
-    stacks), all on device."""
+                  eye_dim=None, loglstar=None):
+    """Pick Q start rows among live points above ``loglstar`` (default:
+    the live minimum), plus per-lane random axes from the bound
+    (volume-weighted for ellipsoid stacks), all on device."""
     live_logl = live[:, logl_col]
-    loglstar = jnp.min(live_logl)
+    if loglstar is None:
+        loglstar = jnp.min(live_logl)
     valid = live_logl > loglstar
+    # degenerate plateau (nothing strictly above): any start will do —
+    # the consume scan stops on the plateau cause before using them
+    valid = valid | ~jnp.any(valid)
     kc, ka = jax.random.split(k_sel)
     logits = jnp.where(valid, 0.0, -jnp.inf)
     idxs = jax.random.categorical(kc, logits, shape=(q,))

@@ -80,9 +80,10 @@ def _wrap_boundaries(u, periodic_mask, reflective_mask):
 def _masked_eval(like, u, incube):
     """Evaluate the batched likelihood at ``u`` (clamped into the cube for
     safety) and mask out-of-cube lanes to -inf.  Outputs are cast to the
-    kernel's dtype (the wrapper may run at a different precision)."""
+    kernel's dtype (the wrapper may run at a different precision).  In
+    host mode the mask keeps dead lanes away from the user callable."""
     uc = jnp.clip(u, 0.0, 1.0)
-    v, logl, blob = like.batch_eval(uc)
+    v, logl, blob = like.batch_eval(uc, mask=incube)
     logl = jnp.where(incube, logl, _NEG_INF).astype(u.dtype)
     return v.astype(u.dtype), logl, blob
 
@@ -208,7 +209,7 @@ def _sample_friends_union(key, arrays, q, ncdim, dtype, ftype):
 
 def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
                     dtype=jnp.float64, max_waves=100000,
-                    host_sampler=None):
+                    host_sampler=None, constrain=None):
     """Build the jitted uniform-sampling round.
 
     Returns ``fn(key, loglstar, bound_arrays) -> dict`` with per-slot
@@ -243,6 +244,12 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
 
     def round_fn(key, loglstar, arrays):
         u0, v0, logl0, blob0 = _zeros_like_batch(like, q, ndim, dtype)
+        if constrain is not None:
+            # pin the lane axis to the mesh so the rejection waves (and
+            # the batched likelihood inside them) run fully partitioned
+            u0, v0, logl0 = constrain(u0), constrain(v0), constrain(logl0)
+            blob0 = jax.tree.map(constrain, blob0) \
+                if blob0 is not None else None
 
         def cond(carry):
             (_, n_filled, waves, _, _, _) = carry[:6]
@@ -257,6 +264,8 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
                 u_prop = jnp.concatenate([uc, u_extra], axis=1)
             else:
                 u_prop = uc
+            if constrain is not None:
+                u_prop, valid = constrain(u_prop), constrain(valid)
             incube = unitcheck_batch(uc, nb_cluster)
             valid = valid & incube
             v_prop, logl_prop, blob_prop = _masked_eval(like, u_prop, valid)
@@ -295,7 +304,8 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
 
 
 def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
-                     periodic=None, reflective=None, dtype=jnp.float64):
+                     periodic=None, reflective=None, dtype=jnp.float64,
+                     constrain=None):
     npdim = like.npdim
     """Build the jitted random-walk round: each of the ``q`` lanes performs
     exactly ``walks`` proposals inside its scaled ellipsoid (axes per
@@ -313,6 +323,12 @@ def make_rwalk_round(like, *, ndim, ncdim, q, walks, nonbounded=None,
     n_extra = ndim - ncdim
 
     def round_fn(key, packed_in, start_blob, scale, loglstar):
+        if constrain is not None:
+            # lane-partition the walk state: each chip owns q/n lanes of
+            # the whole walks-step chain (likelihood included)
+            packed_in = constrain(packed_in)
+            start_blob = jax.tree.map(constrain, start_blob) \
+                if start_blob is not None else None
         start_u = packed_in[:, :ndim]
         start_v = packed_in[:, ndim:ndim + npdim]
         start_logl = packed_in[:, ndim + npdim]
@@ -366,7 +382,7 @@ def _mask_from_indices(indices, ndim):
 
 def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
                      doubling=False, dtype=jnp.float64,
-                     max_shrink_iters=10000):
+                     max_shrink_iters=10000, constrain=None):
     """Build the jitted slice-sampling round.
 
     ``kind='rslice'``: ``slices`` slice updates per lane along random
@@ -551,6 +567,10 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
         return jax.vmap(lambda a, p: a.T[p])(axes_d, perm) * scale
 
     def round_fn(key, packed_in, start_blob, scale, loglstar):
+        if constrain is not None:
+            packed_in = constrain(packed_in)
+            start_blob = jax.tree.map(constrain, start_blob) \
+                if start_blob is not None else None
         start_u = packed_in[:, :ndim]
         start_v = packed_in[:, ndim:ndim + npdim]
         start_logl = packed_in[:, ndim + npdim]
@@ -592,12 +612,19 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
     PH_INIT_L, PH_INIT_R, PH_EXP_L, PH_EXP_R, PH_SHRINK = 0, 1, 2, 3, 4
 
     def round_fn_sm(key, packed_in, start_blob, scale, loglstar):
+        if constrain is not None:
+            # lane-partition the per-lane slice state machine
+            packed_in = constrain(packed_in)
+            start_blob = jax.tree.map(constrain, start_blob) \
+                if start_blob is not None else None
         start_u = packed_in[:, :ndim].astype(dtype)
         start_v = packed_in[:, ndim:ndim + npdim].astype(dtype)
         start_logl = packed_in[:, ndim + npdim].astype(dtype)
         axes = packed_in[:, ndim + npdim + 1:].reshape(q, ndim, ndim)
         kdir, kr0, kloop = jax.random.split(key, 3)
         directions = _make_directions(kdir, axes.astype(dtype), scale)
+        if constrain is not None:
+            directions = constrain(directions)
         # cap each direction's length at the cube diagonal (reference
         # internal_samplers.py:1100-1108), precomputed for all steps
         dirlen = jnp.linalg.norm(directions, axis=-1)
@@ -606,6 +633,8 @@ def make_slice_round(like, *, ndim, q, slices, kind, nonperiodic=None,
 
         r0 = jax.random.uniform(kr0, (q,), dtype=dtype)
         i0 = jnp.zeros((q,), jnp.int32)
+        if constrain is not None:
+            r0, i0 = constrain(r0), constrain(i0)
         state = dict(
             s=i0, phase=jnp.full((q,), PH_INIT_L, jnp.int32),
             u=start_u, v=start_v, logl=start_logl, blob=start_blob,

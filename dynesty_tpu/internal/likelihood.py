@@ -61,6 +61,50 @@ class LoglOutput:
         return self.val
 
 
+class _ContextWrapper:
+    """Print the offending input before re-raising a user-function
+    exception (reference ``dynesty.py:794-810``, tested
+    ``tests/test_misc.py:239-249``).  A class (not a closure) so pool
+    workers can pickle it: the wrapped ``fn`` travels by reference when
+    it is a module-level function."""
+
+    __slots__ = ("fn", "name", "args", "kwargs")
+
+    def __init__(self, fn, name, args=(), kwargs=None):
+        self.fn = fn
+        self.name = name
+        self.args = tuple(args or ())
+        self.kwargs = dict(kwargs or {})
+
+    def __call__(self, x):
+        try:
+            return self.fn(x, *self.args, **self.kwargs)
+        except Exception:
+            import sys
+            import traceback
+
+            print(f"Exception while calling {self.name} function:",
+                  file=sys.stderr)
+            print(f"  params: {x}", file=sys.stderr)
+            if self.args:
+                print(f"  args: {self.args}", file=sys.stderr)
+            if self.kwargs:
+                print(f"  kwargs: {self.kwargs}", file=sys.stderr)
+            print("  exception:", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            raise
+
+    def __getstate__(self):
+        return (self.fn, self.name, self.args, self.kwargs)
+
+    def __setstate__(self, state):
+        self.fn, self.name, self.args, self.kwargs = state
+
+
+def _wrap_with_context(fn, name, args=(), kwargs=None):
+    return _ContextWrapper(fn, name, args, kwargs)
+
+
 class LogLikelihood:
     """Wraps user ``loglikelihood``/``prior_transform`` into batched device
     evaluation, with exception surfacing and blob support."""
@@ -70,16 +114,20 @@ class LogLikelihood:
                  logl_args=None, logl_kwargs=None,
                  ptform_args=None, ptform_kwargs=None,
                  dtype=None, save_evaluation_history=False,
-                 history_filename=None):
+                 history_filename=None, use_pool_logl=True,
+                 use_pool_ptform=True):
         if mode not in ("jax", "vectorized", "host"):
             raise ValueError(f"Unknown likelihood mode '{mode}'")
         self.mode = mode
         self.blob = blob
         self.ndim = ndim
         self.pool = pool
-        # evaluation-history recording (HDF5); in traced modes the history
-        # contains every LAUNCHED evaluation (a superset of the logical
-        # ncall: masked/out-of-cube lanes are evaluated then discarded)
+        # per-site pool flags (reference use_pool semantics)
+        self.use_pool_logl = use_pool_logl
+        self.use_pool_ptform = use_pool_ptform
+        # evaluation-history recording (HDF5): exactly the lanes whose
+        # evaluation is counted (kernels pass their validity mask), so
+        # for completed runs history length == ncall
         self.save_evaluation_history = save_evaluation_history
         self.history_filename = history_filename
         self.save_every = 10000
@@ -111,14 +159,10 @@ class LogLikelihood:
         la, lk = self._logl_args, self._logl_kwargs
         pa, pk = self._ptform_args, self._ptform_kwargs
         base_logl, base_ptform = self._base_logl, self._base_ptform
-        if la or lk:
-            self._logl = lambda v: base_logl(v, *la, **lk)
-        else:
-            self._logl = base_logl
-        if pa or pk:
-            self._ptform = lambda u: base_ptform(u, *pa, **pk)
-        else:
-            self._ptform = base_ptform
+        self._logl = _wrap_with_context(base_logl, "loglikelihood",
+                                        la, lk)
+        self._ptform = _wrap_with_context(base_ptform, "prior_transform",
+                                          pa, pk)
         if self.mode == "host":
             self._batch_fn = None  # built after shapes are known
         else:
@@ -176,11 +220,16 @@ class LogLikelihood:
     # -- host path --------------------------------------------------------
 
     def _host_eval_np(self, u):
-        """Map the user callables over a numpy batch on the host."""
+        """Map the user callables over a numpy batch on the host,
+        honoring the per-site use_pool flags."""
         u = np.asarray(u)
-        mapper = self.pool.map if self.pool is not None else map
-        v = np.array(list(mapper(self._ptform, u)))
-        raw = list(mapper(self._logl, v))
+        has_pool = self.pool is not None
+        pt_mapper = self.pool.map \
+            if has_pool and getattr(self, "use_pool_ptform", True) else map
+        ll_mapper = self.pool.map \
+            if has_pool and getattr(self, "use_pool_logl", True) else map
+        v = np.array(list(pt_mapper(self._ptform, u)))
+        raw = list(ll_mapper(self._logl, v))
         self.ncall_launched += len(u)
         if self.blob:
             logl = np.array([float(r[0]) for r in raw])
@@ -206,16 +255,32 @@ class LogLikelihood:
             bs, bd = self.blob_shape_dtype
             shapes.append(jax.ShapeDtypeStruct((batch_size,) + bs, bd))
 
-        def host_fn(u):
-            v, logl, blob = self._host_eval_np(u)
+        def host_fn(u, mask):
+            # masked-out lanes never reach the user callable, so the
+            # invocation count matches the kernels' logical ncall exactly
+            # (reference parity: tests/test_misc.py:611-640)
+            u = np.asarray(u)
+            mask = np.asarray(mask, dtype=bool)
+            v = np.zeros((len(u), npdim))
+            logl = np.full(len(u), -np.inf)
+            blob = None
+            if self.blob:
+                bs, bd = self.blob_shape_dtype
+                blob = np.zeros((len(u),) + bs, dtype=bd)
+            if mask.any():
+                vm, loglm, blobm = self._host_eval_np(u[mask])
+                v[mask] = vm
+                logl[mask] = loglm
+                if self.blob:
+                    blob[mask] = blobm
             out = [np.asarray(v, dtype), np.asarray(logl, dtype)]
             if self.blob:
                 out.append(np.asarray(blob, self.blob_shape_dtype[1]))
             return tuple(out)
 
-        def batch(u):
+        def batch(u, mask):
             out = jax.experimental.io_callback(host_fn, tuple(shapes), u,
-                                               ordered=False)
+                                               mask, ordered=False)
             if self.blob:
                 return out[0], out[1], out[2]
             return out[0], out[1], None
@@ -274,32 +339,48 @@ class LogLikelihood:
         except TypeError:
             return None
 
-    def batch_eval(self, u):
+    def batch_eval(self, u, mask=None):
         """Traced batched evaluation for use inside jitted kernels.
 
         ``u`` is (N, ndim) and must already be inside the support of the
         prior transform (kernels clamp to [0, 1] before calling).  Returns
         ``(v (N, npdim), logl (N,), blob pytree or None)``.
+
+        ``mask`` marks the lanes whose result will actually be used.  In
+        host mode masked-out lanes are never handed to the user callable
+        (exact invocation accounting); traced modes evaluate the full
+        batch regardless — the lanes are free on vector hardware.
         """
         if self.mode == "host":
             if self.npdim is None:
                 raise RuntimeError("Host-mode likelihood must be probed "
                                    "with eval_host before tracing.")
-            v, logl, blob = self._ensure_host_callback(u.shape[0])(u)
+            if mask is None:
+                mask = jnp.ones(u.shape[0], dtype=bool)
+            v, logl, blob = self._ensure_host_callback(u.shape[0])(u, mask)
         else:
             v, logl, blob = self._batch_fn(u)
             v = jnp.asarray(v, self.dtype)
             logl = jnp.asarray(logl, self.dtype)
         if self.save_evaluation_history:
-            _io_callback(self._record_batch, None, u, v, logl,
+            rec_mask = mask if mask is not None else \
+                jnp.ones(u.shape[0], dtype=bool)
+            _io_callback(self._record_batch, None, u, v, logl, rec_mask,
                          ordered=False)
         return v, logl, blob
 
     # -- evaluation history (HDF5) ----------------------------------------
 
-    def _record_batch(self, u, v, logl):
-        self.append_evaluation_history(np.asarray(u), np.asarray(v),
-                                       np.asarray(logl))
+    def _record_batch(self, u, v, logl, mask=None):
+        u, v, logl = np.asarray(u), np.asarray(v), np.asarray(logl)
+        if mask is not None:
+            # record exactly the lanes whose evaluation counts: in host
+            # mode these are the ones the user callable actually saw, so
+            # history length == ncall (reference tests/test_misc.py:729-871)
+            mask = np.asarray(mask, dtype=bool)
+            u, v, logl = u[mask], v[mask], logl[mask]
+        if len(logl):
+            self.append_evaluation_history(u, v, logl)
 
     def history_init(self):
         """Create (truncate) the HDF5 history file; datasets are created

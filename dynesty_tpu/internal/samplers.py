@@ -157,16 +157,20 @@ class InternalSampler:
         rounds = getattr(ns, "rounds_per_dispatch", 1)
         if self.max_rounds_per_dispatch is not None:
             rounds = min(rounds, self.max_rounds_per_dispatch)
+        mode = getattr(ns, "proposal_mode", "batch")
+        mesh = getattr(ns, "mesh", None)
         cfg = ("fused", bound_kind, ns.queue_size, ns.nlive, rounds,
-               self._fused_cfg_key())
+               mode, mesh, self._fused_cfg_key())
         entry = self._round_cache.get(cfg)
         if entry is not None:
             return entry
         gkey = None
-        if bound_kind != "custom" and getattr(ns, "mesh", None) is None:
+        if bound_kind != "custom":
             lkey = ns.loglikelihood.trace_cache_key()
             if lkey is not None:
                 try:
+                    # jax.sharding.Mesh hashes by device set + axis names,
+                    # so same-mesh samplers share the trace
                     gkey = (type(self).__name__, cfg, self.ndim,
                             self.ncdim, ns.dtype, bool(ns.blob), lkey,
                             tuple(sorted(
@@ -185,7 +189,7 @@ class InternalSampler:
             nlive=ns.nlive, ndim=self.ndim,
             npdim=ns.loglikelihood.npdim, q=ns.queue_size,
             dtype=ns.dtype, blob=ns.blob, rounds=rounds,
-            tune_fn=self.device_tune_fn())
+            tune_fn=self.device_tune_fn(), mode=mode, mesh=mesh)
         self._round_cache[cfg] = entry
         if gkey is not None:
             _GLOBAL_ROUND_CACHE[gkey] = entry
@@ -195,12 +199,19 @@ class InternalSampler:
         return ()
 
     def run_fused(self, nested_sampler, key, live_packed, live_blob,
-                  axes_args, integ, limits):
+                  axes_args, integ, limits, rounds_active=None):
         """Execute one fused round; returns the unpacked host dict plus
-        (old_blobs, new_live_blob) device trees."""
+        (old_blobs, new_live_blob) device trees.  ``rounds_active`` caps
+        the chained rounds that actually consume/bill work this dispatch
+        (same compiled program; see make_fused_round)."""
         bound_kind = nested_sampler.device_bound_kind()
         fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
-        ctrl = np.concatenate([integ, limits, [self.scale]])
+        if rounds_active is None:
+            rounds_active = layout["rounds"]
+        rounds_active = min(max(int(rounds_active), 1), layout["rounds"])
+        ctrl = np.concatenate([integ, limits,
+                               [self.scale, 0.0, float(rounds_active),
+                                -1e30]])
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
             fused_fn(key, live_packed, live_blob, axes_args,
                      jnp.asarray(ctrl, nested_sampler.dtype))
@@ -213,7 +224,8 @@ class InternalSampler:
         """Consume-only fused round: replays externally supplied
         proposal entries (leftovers from an interrupted round)."""
         ns = nested_sampler
-        cfg = ("replay", ns.queue_size, ns.nlive)
+        mode = getattr(ns, "proposal_mode", "batch")
+        cfg = ("replay", ns.queue_size, ns.nlive, mode)
         entry = self._round_cache.get(cfg)
         if entry is None:
             ndim = self.ndim
@@ -221,7 +233,7 @@ class InternalSampler:
             # the replay round never calls the likelihood (entries carry
             # their logl), so the global key is purely structural
             gkey = ("replay", ns.queue_size, ns.nlive, ndim, npdim,
-                    ns.dtype, bool(ns.blob))
+                    ns.dtype, bool(ns.blob), mode)
             entry = _GLOBAL_ROUND_CACHE.get(gkey)
             if entry is not None:
                 self._round_cache[cfg] = entry
@@ -242,18 +254,21 @@ class InternalSampler:
             entry = make_fused_round(
                 propose, kind="replay", nlive=ns.nlive, ndim=ndim,
                 npdim=npdim, q=ns.queue_size, dtype=ns.dtype,
-                blob=ns.blob)
+                blob=ns.blob, mode=mode)
             self._round_cache[cfg] = entry
             _GLOBAL_ROUND_CACHE[gkey] = entry
         return entry
 
     def run_replay(self, nested_sampler, key, live_packed, live_blob,
-                   prop, prop_blob, integ, limits):
+                   prop, prop_blob, integ, limits, kills0=0,
+                   birth0=-1e30):
         fused_fn, layout = self.get_replay(nested_sampler)
         args = {"prop": prop}
         if nested_sampler.blob:
             args["qblob"] = prop_blob
-        ctrl = np.concatenate([integ, limits, [self.scale]])
+        ctrl = np.concatenate([integ, limits,
+                               [self.scale, float(kills0), 1.0,
+                                max(float(birth0), -1e30)]])
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
             fused_fn(key, live_packed, live_blob, args,
                      jnp.asarray(ctrl, nested_sampler.dtype))
@@ -335,13 +350,16 @@ def _unpack_rows(packed, blob, ndim, npdim, extra_names, stats_fn,
 
 def _unif_propose_fn(sampler, ns, bound_kind):
     """Shared propose_fn builder for uniform-style kernels."""
+    from ..parallel.mesh import lane_constrainer
     like = ns.loglikelihood
     ndim, ncdim, q = sampler.ndim, sampler.ncdim, ns.queue_size
     npdim = like.npdim
     il = ndim + npdim
+    constrain = lane_constrainer(getattr(ns, "mesh", None))
     if isinstance(sampler, UnitCubeSampler):
         inner = make_unif_round(like, ndim=ndim, ncdim=ndim, q=q,
-                                bound_kind="cube", dtype=ns.dtype)
+                                bound_kind="cube", dtype=ns.dtype,
+                                constrain=constrain)
     else:
         def host_sampler():
             pts = np.asarray(ns.bound.samples(q, rstate=ns.rstate))
@@ -350,7 +368,8 @@ def _unif_propose_fn(sampler, ns, bound_kind):
         inner = make_unif_round(
             like, ndim=ndim, ncdim=ncdim, q=q, bound_kind=bound_kind,
             nonbounded=sampler.sampler_kwargs.get("nonbounded"),
-            dtype=ns.dtype, host_sampler=host_sampler)
+            dtype=ns.dtype, host_sampler=host_sampler,
+            constrain=constrain)
 
     def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
                 loglstar):
@@ -521,6 +540,7 @@ class RWalkSampler(InternalSampler):
         return tune_fn
 
     def _build_propose_fn(self, ns, bound_kind):
+        from ..parallel.mesh import lane_constrainer
         like = ns.loglikelihood
         ndim, ncdim, q = self.ndim, self.ncdim, ns.queue_size
         npdim = like.npdim
@@ -530,14 +550,15 @@ class RWalkSampler(InternalSampler):
             nonbounded=self.sampler_kwargs.get("nonbounded"),
             periodic=self.sampler_kwargs.get("periodic"),
             reflective=self.sampler_kwargs.get("reflective"),
-            dtype=ns.dtype)
+            dtype=ns.dtype,
+            constrain=lane_constrainer(getattr(ns, "mesh", None)))
         walks = self.walks
 
         def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
                     loglstar):
             idxs, starts, axes = select_starts(
                 k_sel, live, il, q, bound_kind, axes_args, ns.dtype,
-                eye_dim=ncdim)
+                eye_dim=ncdim, loglstar=loglstar)
             packed_in = jnp.concatenate(
                 [starts[:, :il + 1], axes.reshape(q, -1)], axis=1)
             sblob = (jax.tree.map(lambda b: b[idxs], live_blob)
@@ -616,16 +637,18 @@ class _SliceBase(InternalSampler):
         il = ndim + npdim
         kind = "slice" if isinstance(self, SliceSampler) else "rslice"
         doubling = bool(self.sampler_kwargs.get("slice_doubling", False))
+        from ..parallel.mesh import lane_constrainer
         inner = make_slice_round(
             like, ndim=ndim, q=q, slices=self.slices, kind=kind,
             nonperiodic=self.sampler_kwargs.get("nonperiodic"),
-            doubling=doubling, dtype=ns.dtype)
+            doubling=doubling, dtype=ns.dtype,
+            constrain=lane_constrainer(getattr(ns, "mesh", None)))
 
         def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
                     loglstar):
             idxs, starts, axes = select_starts(
                 k_sel, live, il, q, bound_kind, axes_args, ns.dtype,
-                eye_dim=ndim)
+                eye_dim=ndim, loglstar=loglstar)
             packed_in = jnp.concatenate(
                 [starts[:, :il + 1], axes.reshape(q, -1)], axis=1)
             sblob = (jax.tree.map(lambda b: b[idxs], live_blob)

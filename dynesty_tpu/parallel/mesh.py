@@ -5,13 +5,28 @@ a round (starts, axes, candidate buffers, per-lane counters) is partitioned
 along its leading dimension, so the user's batched log-likelihood runs on
 all chips with XLA inserting the (cheap) ``all-reduce`` collectives needed
 by the round's convergence tests (``jnp.any(active)``).
+
+The fused round keeps a clean parallel/sequential split:
+
+* everything lane-indexed (proposal candidates, walk/slice state, the
+  batched likelihood evaluation) is constrained to ``P('q')`` — each chip
+  owns ``q / n_devices`` lanes end to end, so the hot path needs NO
+  communication except the tiny ``jnp.any``-style convergence reductions;
+* the consume scan (worst-point selection, evidence update) runs on the
+  replicated live state: the per-lane results are all-gathered once per
+  round (a few KB), which rides the ICI and is negligible next to a
+  likelihood batch.
+
+This replaces the reference's process pool (``pool.py:51-184``) where the
+parallel axis is worker processes and the gather is pickled IPC.
 """
 
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "batch_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "shard_batch", "lane_constrainer",
+           "replicate"]
 
 BATCH_AXIS = "q"
 
@@ -30,6 +45,31 @@ def batch_sharding(mesh, ndim=2):
     """NamedSharding partitioning the leading (batch) dimension."""
     spec = PartitionSpec(BATCH_AXIS, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
+
+
+def lane_constrainer(mesh):
+    """Traceable ``constrain(x)`` pinning an array's leading (lane) axis
+    to the mesh, or None when ``mesh`` is None.  Applied inside jitted
+    kernels at the points where per-lane state is created, so XLA's SPMD
+    partitioner propagates the sharding through the walk/slice loops and
+    the batched likelihood."""
+    if mesh is None:
+        return None
+    def constrain(x):
+        if x is None:
+            return None
+        spec = PartitionSpec(BATCH_AXIS, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec))
+    return constrain
+
+
+def replicate(mesh, x):
+    """Constrain ``x`` (any pytree) to fully-replicated on the mesh."""
+    sh = NamedSharding(mesh, PartitionSpec())
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, sh)
+        if a is not None else None, x)
 
 
 def shard_batch(mesh, *arrays):

@@ -378,14 +378,15 @@ def boundplot(results, dims, it=None, idx=None, prior_transform=None,
               ndraws=5000, color="gray", plot_kwargs=None, labels=None,
               label_kwargs=None, max_n_ticks=5, use_math_text=False,
               show_live=False, live_color="darkviolet", live_kwargs=None,
-              span=None, fig=None):
+              span=None, fig=None, rstate=None):
     """Scatter of points drawn from a saved bound in two dimensions."""
     _check_mpl()
     plot_kwargs = dict(plot_kwargs or {})
     label_kwargs = dict(label_kwargs or {})
     plot_kwargs.setdefault("s", 1)
     points = _sample_bound(results, it=it, idx=idx,
-                           prior_transform=prior_transform, ndraws=ndraws)
+                           prior_transform=prior_transform, ndraws=ndraws,
+                           rstate=rstate)
     dim1, dim2 = dims
     if fig is None:
         fig, ax = pl.subplots(figsize=(6, 6))
@@ -410,14 +411,15 @@ def cornerbound(results, it=None, idx=None, dims=None,
                 plot_kwargs=None, labels=None, label_kwargs=None,
                 max_n_ticks=5, use_math_text=False, show_live=False,
                 live_color="darkviolet", live_kwargs=None, span=None,
-                fig=None):
+                fig=None, rstate=None):
     """Lower-triangle matrix of bound draws across all dimension pairs."""
     _check_mpl()
     plot_kwargs = dict(plot_kwargs or {})
     label_kwargs = dict(label_kwargs or {})
     plot_kwargs.setdefault("s", 1)
     points = _sample_bound(results, it=it, idx=idx,
-                           prior_transform=prior_transform, ndraws=ndraws)
+                           prior_transform=prior_transform, ndraws=ndraws,
+                           rstate=rstate)
     if dims is not None:
         points = points[:, list(dims)]
     ndim = points.shape[1]

@@ -159,7 +159,8 @@ class Sampler:
                  logvol_init=0.0,
                  dtype=None,
                  mesh=None,
-                 rounds_per_dispatch=1):
+                 rounds_per_dispatch=1,
+                 proposal_mode="batch"):
         import jax.numpy as jnp
         import jax
 
@@ -175,13 +176,24 @@ class Sampler:
         self.nlive = len(self.live_u)
         self.live_bound = np.zeros(self.nlive, dtype=int)
         self.live_it = np.zeros(self.nlive, dtype=int)
+        # logl threshold each live point was drawn above (-inf = prior)
+        self.live_birth = np.full(self.nlive, -np.inf)
 
         self.rstate = rstate or get_random_generator()
         self.sampling = sampling
         self.internal_sampler_next = sampling
         self.internal_sampler = UnitCubeSampler(ndim=ndim)
 
-        self.queue_size = max(int(queue_size or 64), 1)
+        # 'batch': batched death/refill rounds with varying-live-count
+        # accounting (exact + waste-free; see internal/fused.py).
+        # 'queue': the reference's speculative proposal queue semantics.
+        if proposal_mode not in ("batch", "queue"):
+            raise ValueError(f"Unknown proposal_mode '{proposal_mode}'")
+        self.proposal_mode = proposal_mode
+        # optional jax.sharding.Mesh: shards the proposal (lane) axis
+        self.mesh = mesh
+        self.queue_size_req = max(int(queue_size or 64), 1)
+        self._apply_queue_clamp()
         self.queue = []
         self.nqueue = 0
         self._pending_tuning = None
@@ -225,12 +237,35 @@ class Sampler:
         self.cite = cite or ""
         self.pool = None
         self.mapper = map
-        # optional jax.sharding.Mesh: shards the proposal batch over chips
-        self.mesh = mesh
+        self.use_pool = {}
         # chain this many propose+consume rounds per device call
         # (amortizes fixed dispatch costs; bound refits and tuning then
         # happen every rounds_per_dispatch queue refills)
         self.rounds_per_dispatch = max(int(rounds_per_dispatch), 1)
+
+    def _apply_queue_clamp(self):
+        """Effective per-round width.  Batch (death/refill) rounds kill
+        ``queue_size`` points at once, so the width is capped at half the
+        live count to bound the sawtooth's variance penalty (and must stay
+        below ``nlive`` for the accounting to be defined)."""
+        if self.proposal_mode == "batch":
+            self.queue_size = max(1, min(self.queue_size_req,
+                                         self.nlive // 2))
+        else:
+            self.queue_size = self.queue_size_req
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None and mesh.size > 1:
+            # the lane axis is sharded across the mesh: keep it divisible
+            self.queue_size = max(mesh.size,
+                                  self.queue_size // mesh.size * mesh.size)
+        # full/narrow widths for the adaptive endgame (see sample()):
+        # the last few dispatches of a run use a narrow round so the
+        # terminal stop strands (and bills) at most a few lanes
+        self._q_full = self.queue_size
+        qn = max(16, self.queue_size // 8)
+        if mesh is not None and mesh.size > 1:
+            qn = max(mesh.size, qn // mesh.size * mesh.size)
+        self._q_narrow = min(qn, self.queue_size)
 
     # ------------------------------------------------------------------
     # persistence
@@ -246,7 +281,8 @@ class Sampler:
         self._ensure_live_mirror()
         state = self.__dict__.copy()
         for k in ("pool", "mapper", "mesh", "_live_dev",
-                  "_live_blob_dev", "_bound_upload", "_mirror_stale"):
+                  "_live_blob_dev", "_bound_upload", "_mirror_stale",
+                  "last_proposals_sharding"):
             state.pop(k, None)
         return state
 
@@ -266,6 +302,7 @@ class Sampler:
         self.live_blobs = live_points[3] if self.blob else None
         self.live_bound = np.zeros(self.nlive, dtype=int)
         self.live_it = np.zeros(self.nlive, dtype=int)
+        self.live_birth = np.full(self.nlive, -np.inf)
         self.logvol_init = logvol_init
         self.it = 1
         self.ncall = init_ncalls
@@ -285,18 +322,23 @@ class Sampler:
         self.plateau_logdvol = None
         self.saved_run = RunRecord()
         for k in ("_integ", "_pending_records", "_leftover", "_live_dev",
-                  "_live_blob_dev", "_mirror_stale", "_bound_upload"):
+                  "_live_blob_dev", "_mirror_stale", "_bound_upload",
+                  "_nc_carry"):
             self.__dict__.pop(k, None)
 
     # ------------------------------------------------------------------
     # bound management
 
     def update_bound(self, subset=slice(None)):
-        """Refit the bound to the current live points."""
+        """Refit the bound to the current live points; bootstrap
+        realizations map over the pool when use_pool['update_bound']
+        (reference ``sampler.py:497-505``)."""
+        pool = self.pool if getattr(self, "use_pool", {}).get(
+            "update_bound", True) else None
         self.bound.update(self.live_u[subset, :self.ncdim],
                           rstate=self.rstate,
                           bootstrap=self.bound_bootstrap,
-                          pool=None)
+                          pool=pool)
         self.bound_version = next(_BOUND_VERSION)
         if self.bound_enlarge != 1.0:
             self.bound.scale_to_logvol(self.bound.logvol +
@@ -399,11 +441,15 @@ class Sampler:
 
     def _live_packed(self):
         """Pack the live mirrors into the fused round's (nlive, W) float
-        matrix: u | v | logl | it | bound."""
+        matrix: u | v | logl | it | bound | birth."""
+        birth = getattr(self, "live_birth", None)
+        if birth is None:
+            birth = np.full(self.nlive, -np.inf)
         return np.concatenate([
             self.live_u, self.live_v, self.live_logl[:, None],
             self.live_it[:, None].astype(np.float64),
             self.live_bound[:, None].astype(np.float64),
+            np.asarray(birth, dtype=np.float64)[:, None],
         ], axis=1)
 
     def _sync_live(self, live, bounditer):
@@ -419,6 +465,8 @@ class Sampler:
         lb = live[:, ndim + npdim + 2].astype(int)
         lb[lb < 0] = bounditer
         self.live_bound = lb
+        self.live_birth = np.array(live[:, ndim + npdim + 3],
+                                   dtype=np.float64)
 
     def _ensure_live_mirror(self):
         """Refresh the host live mirrors from the device-resident state
@@ -510,16 +558,25 @@ class Sampler:
     def results(self):
         """Results of the run packaged as an immutable record."""
         d = {}
-        for k in ("nc", "v", "id", "it", "u", "logwt", "logl", "logvol",
-                  "logz", "logzvar", "h", "bounditer", "boundidx", "scale",
-                  "blob", "proposal_stats"):
+        for k in ("nc", "v", "id", "it", "u", "n", "birth", "logwt",
+                  "logl", "logvol", "logz", "logzvar", "h", "bounditer",
+                  "boundidx", "scale", "blob", "proposal_stats"):
             d[k] = np.array(self.saved_run[k])
+        # decode the f32-safe clamp back to -inf (prior-born points)
+        birth = d["birth"].astype(np.float64)
+        birth[birth <= -1e29] = -np.inf
+        d["birth"] = birth
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
+            # samples_n records the exact live-point count at each death:
+            # batch (death/refill) rounds give static runs a sawtooth
+            # profile, which the error analysis must see
             results = [("nlive", self.nlive), ("niter", self.it - 1),
                        ("ncall", d["nc"]), ("eff", self.eff),
                        ("samples", d["v"]), ("blob", d["blob"]),
                        ("samples_id", d["id"]), ("samples_it", d["it"]),
+                       ("samples_n", d["n"].astype(int)),
+                       ("samples_birth", d["birth"]),
                        ("samples_u", d["u"]), ("logwt", d["logwt"]),
                        ("logl", d["logl"]), ("logvol", d["logvol"]),
                        ("logz", d["logz"]),
@@ -646,11 +703,23 @@ class Sampler:
             if self._live_dev is None:
                 packed = self._live_packed()
                 packed[:, ndim + npdim] = _clamp(packed[:, ndim + npdim])
+                packed[:, ndim + npdim + 3] = _clamp(
+                    packed[:, ndim + npdim + 3])
                 self._live_dev = jnp.asarray(packed, self.dtype)
                 if self.blob:
                     self._live_blob_dev = jax.tree.map(
                         lambda *bs: jnp.asarray(np.stack(bs)),
                         *self.live_blobs)
+                if self.mesh is not None:
+                    # commit the live state replicated across the mesh so
+                    # the sharded round compiles over all chips
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    sh = NamedSharding(self.mesh, PartitionSpec())
+                    self._live_dev = jax.device_put(self._live_dev, sh)
+                    if self.blob and self._live_blob_dev is not None:
+                        self._live_blob_dev = jax.tree.map(
+                            lambda b: jax.device_put(b, sh),
+                            self._live_blob_dev)
 
         while True:
             # ---- drain pending yields (their rows are already appended
@@ -706,9 +775,69 @@ class Sampler:
                 out, live_out, live_blob_out, old_blobs_dev = \
                     self.internal_sampler.run_replay(
                         self, key, self._live_dev, self._live_blob_dev,
-                        prop_padded, pb_pad, integ, limits)
+                        prop_padded, pb_pad, integ, limits,
+                        kills0=self._leftover.get("kills", 0),
+                        birth0=self._leftover.get("birth0", -1e30))
                 n_real_limit = n_real
             else:
+                # adaptive dispatch sizing: near the stopping criterion
+                # (or an iteration cap) activate only as many chained
+                # rounds as the estimated remaining work needs, so the
+                # terminal stop does not strand (and bill) a huge
+                # speculative dispatch.  delta_logz decays ~e^(-i/nlive),
+                # so the accepts remaining to reach dlogz are
+                # ~nlive*ln(delta/dlogz).  Same compiled program — the
+                # cap is a runtime scalar (see internal/fused.py).
+                est = None
+                last_delta = getattr(self, "_last_delta_logz", None)
+                if last_delta is not None and np.isfinite(dlogz_eff) \
+                        and dlogz_eff > 0 and last_delta > 0:
+                    # small margin: an undershoot costs one extra (cheap)
+                    # dispatch, an overshoot strands at most ~one round
+                    est = 1.1 * self.nlive * max(
+                        np.log(last_delta) - np.log(dlogz_eff), 0.0)
+                if np.isfinite(logl_max):
+                    # dynamic batches stop at logl_max: extrapolate the
+                    # bracket progress (iterations spent per unit of
+                    # loglstar motion) — persistent attrs so a resumed
+                    # batch continues the same estimate
+                    if getattr(self, "_bracket_start", None) is None \
+                            and np.isfinite(loglstar) \
+                            and loglstar > LOWL_VAL / 2:
+                        self._bracket_start = float(loglstar)
+                        self._bracket_it0 = int(self.it)
+                    start = getattr(self, "_bracket_start", None)
+                    if start is not None and loglstar > start \
+                            and logl_max > start:
+                        prog = (loglstar - start) / (logl_max - start)
+                        prog = min(prog, 0.999)
+                        done_iters = max(self.it - self._bracket_it0, 1)
+                        est2 = 1.2 * done_iters * (1.0 - prog) / prog
+                        est = est2 if est is None else min(est, est2)
+                # NOTE: the maxiter/maxcall budgets must NOT shape the
+                # dispatch (width or active rounds): the structure has to
+                # be a pure function of pickled sampler state so that an
+                # interrupted-and-resumed run replays the identical round
+                # sequence (bit-exact resume, tests/test_resume.py).  A
+                # maxiter stop therefore strands at most one dispatch of
+                # speculative work, which is billed honestly.
+                # endgame: when less than one full round of work remains,
+                # dispatch a narrow round instead so the terminal stop
+                # strands (and bills) at most a few lanes
+                q_full = getattr(self, "_q_full", self.queue_size)
+                q_narrow = getattr(self, "_q_narrow", q_full)
+                if est is not None and est < 0.75 * q_full \
+                        and q_narrow < q_full:
+                    self.queue_size = q_narrow
+                else:
+                    self.queue_size = q_full
+                if est is None:
+                    rounds_active = None
+                else:
+                    rounds_active = max(1, int(math.ceil(
+                        (min(est, 2**30) + self.queue_size // 2)
+                        / self.queue_size)))
+
                 # round boundary: refit triggers (syncs live mirrors)
                 loglstar_round = max(loglstar, np.float64(LOWL_VAL))
                 self.update_bound_if_needed(loglstar_round,
@@ -721,18 +850,36 @@ class Sampler:
                 out, live_out, live_blob_out, old_blobs_dev = \
                     self.internal_sampler.run_fused(
                         self, key, self._live_dev, self._live_blob_dev,
-                        axes_args, integ, limits)
-                # actual dispatch width (the unit-cube phase caps the
-                # chained rounds regardless of rounds_per_dispatch)
-                n_real_limit = len(out["accepts"])
+                        axes_args, integ, limits,
+                        rounds_active=rounds_active)
+                # actual dispatch width: the unit-cube phase caps the
+                # chained rounds statically, and the adaptive cap limits
+                # the rounds that consumed/billed work at runtime (gated
+                # tail entries are dead — never consumed, billed, or
+                # kept as leftovers)
+                n_real_limit = len(out["accepts"]) if rounds_active is None \
+                    else min(len(out["accepts"]),
+                             rounds_active * self.queue_size)
+                # observability: the lane-axis sharding of the round's
+                # proposal block (asserted by the mesh tests)
+                self.last_proposals_sharding = getattr(
+                    out["proposals_dev"], "sharding", None)
 
             # ---- leftover bookkeeping (checkpoint-exact resume)
             n_cons = min(out["n_consumed"], n_real_limit)
+            nc_col = ndim + npdim + 1  # nc column of the proposals block
+            kept_nc = 0
             if self._leftover is not None:
-                # chunked replay: drop the consumed prefix
+                # chunked replay: drop the consumed prefix; the kill
+                # offset advances by this chunk's accepted deaths so the
+                # varying-live-count accounting continues where it stopped
                 prop_rest = self._leftover["prop"][n_cons:]
                 if len(prop_rest):
-                    lo = {"prop": prop_rest}
+                    kept_nc = int(prop_rest[:, nc_col].sum())
+                    lo = {"prop": prop_rest,
+                          "kills": (self._leftover.get("kills", 0) +
+                                    out["n_accepted"]),
+                          "birth0": self._leftover.get("birth0", -1e30)}
                     if self.blob and self._leftover.get("blob") is not None:
                         lo["blob"] = jax.tree.map(
                             lambda b: b[n_cons:], self._leftover["blob"])
@@ -741,17 +888,38 @@ class Sampler:
                     self._leftover = None
             elif n_cons < n_real_limit:
                 # rare (dispatch ended early): fetch the device-resident
-                # proposals block for checkpoint-exact leftover replay
+                # proposals block for checkpoint-exact leftover replay.
+                # Batch (death/refill) mode keeps only the interrupted
+                # round's own tail: later chained rounds' proposals were
+                # generated for live states this run will now never
+                # revisit identically, and each round's kill accounting
+                # must restart at its own boundary.
+                qr = self.queue_size
+                if self.proposal_mode == "batch":
+                    lo_end = min(n_real_limit, (n_cons // qr + 1) * qr)
+                    kills = int(np.sum(
+                        out["accepts"][(n_cons // qr) * qr:n_cons]))
+                else:
+                    lo_end = n_real_limit
+                    kills = 0
                 props = np.asarray(
                     jax.device_get(out["proposals_dev"]),
-                    dtype=np.float64)[n_cons:n_real_limit]
-                lo = {"prop": props}
-                if self.blob:
-                    all_blob = jax.device_get(out["qblob"])
-                    lo["blob"] = jax.tree.map(
-                        lambda b: np.asarray(b)[n_cons:n_real_limit],
-                        all_blob)
-                self._leftover = lo
+                    dtype=np.float64)[n_cons:lo_end]
+                if len(props):
+                    kept_nc = int(props[:, nc_col].sum())
+                    # the interrupted round's proposal threshold: births
+                    # of refills made while replaying this tail
+                    birth0 = float(np.asarray(
+                        out["round_thresholds"])[n_cons // qr])
+                    lo = {"prop": props, "kills": kills, "birth0": birth0}
+                    if self.blob:
+                        all_blob = jax.device_get(out["qblob"])
+                        lo["blob"] = jax.tree.map(
+                            lambda b: np.asarray(b)[n_cons:lo_end],
+                            all_blob)
+                    self._leftover = lo
+                else:
+                    self._leftover = None
             else:
                 self._leftover = None
 
@@ -762,6 +930,10 @@ class Sampler:
             self._mirror_bounditer = bounditer
             if self.blob:
                 old_blobs = jax.device_get(old_blobs_dev)
+            if out["n_consumed"] > 0:
+                last_i = min(out["n_consumed"],
+                             len(out["delta_logz"])) - 1
+                self._last_delta_logz = float(out["delta_logz"][last_i])
             ig = out["integ"]
             logz, logzvar = float(ig["logz"]), float(ig["logzvar"])
             h, logvol = float(ig["h"]), float(ig["logvol"])
@@ -773,10 +945,18 @@ class Sampler:
             self._integ = dict(logz=logz, logzvar=logzvar, h=h,
                                logvol=logvol, loglstar=loglstar)
             nc_round = out["nc_used"]
-            self.ncall += nc_round
+            # exact invocation accounting: evals launched this dispatch
+            # that were neither consumed nor kept for leftover replay are
+            # charged now (their work happened; nobody else will bill it)
+            extra_nc = max(out.get("nc_launched", 0) - nc_round - kept_nc,
+                           0)
+            self.ncall += nc_round + extra_nc
+            # telemetry: cumulative billed-but-unconsumed speculative work
+            self.nc_waste_total = getattr(self, "nc_waste_total", 0) + \
+                extra_nc
             if per_dispatch:
                 # the whole dispatch's calls are charged at block yield
-                pending_block = IteratorBlock(n=0, nc=nc_round)
+                pending_block = IteratorBlock(n=0, nc=nc_round + extra_nc)
             else:
                 staged_nc = int(np.sum(
                     out["records"][out["accepts"], rec_off + 6]))
@@ -796,6 +976,13 @@ class Sampler:
                     warnings.warn("A likelihood plateau was reached; "
                                   "stopping the run.")
                 terminal_break = True
+                if self._leftover is not None:
+                    # the run is over: bill the outstanding speculative
+                    # work and drop it (exact terminal ncall)
+                    lo_nc = int(self._leftover["prop"][:, nc_col].sum())
+                    self.ncall += lo_nc
+                    extra_nc += lo_nc
+                    self._leftover = None
 
             # ---- append the round's records in bulk, stage the yields
             recs = np.asarray(out["records"], dtype=np.float64)
@@ -803,8 +990,16 @@ class Sampler:
             scale_now = self.internal_sampler.scale
             acc_idx = np.nonzero(accepts)[0]
             n_new = len(acc_idx)
+            # speculative work not tied to any single death is attributed
+            # to the dispatch's last record (the reference's per-record nc
+            # likewise includes its discarded-proposal cost); carried over
+            # when a dispatch produced no records
+            extra_nc += getattr(self, "_nc_carry", 0)
+            self._nc_carry = 0 if n_new else extra_nc
             if n_new:
-                tail = recs[acc_idx, rec_off:rec_off + 9]
+                tail = recs[acc_idx, rec_off:rec_off + 11]
+                if extra_nc:
+                    tail[-1, 6] += extra_nc
                 worsts = recs[acc_idx, 0].astype(int)
                 bidx = tail[:, 8].astype(int)
                 bidx[bidx < 0] = bounditer
@@ -826,6 +1021,8 @@ class Sampler:
                 D["h"].extend(tail[:, 5].tolist())
                 D["nc"].extend(tail[:, 6].astype(int).tolist())
                 D["it"].extend(tail[:, 7].astype(int).tolist())
+                D["n"].extend(tail[:, 9].astype(int).tolist())
+                D["birth"].extend(tail[:, 10].tolist())
                 D["bounditer"].extend([bounditer] * n_new)
                 D["boundidx"].extend(bidx.tolist())
                 D["scale"].extend([scale_now] * n_new)
@@ -852,7 +1049,9 @@ class Sampler:
                             loglstar=tail[j, 0], logvol=tail[j, 1],
                             logwt=tail[j, 2], logz=tail[j, 3],
                             logzvar=tail[j, 4], h=tail[j, 5],
-                            nc=int(tail[j, 6]), blob=old_blob_rows[j],
+                            nc=int(tail[j, 6]), n=int(tail[j, 9]),
+                            birth=tail[j, 10],
+                            blob=old_blob_rows[j],
                             worst_it=int(tail[j, 7]), boundidx=int(bidx[j]),
                             bounditer=bounditer, eff=self.eff,
                             delta_logz=float(dlz[i]),
@@ -881,9 +1080,28 @@ class Sampler:
             logvol = self.logvol_init
             loglstar = LOWL_VAL
 
+        lsort_idx_pre = np.argsort(self.live_logl)
+        logl_sorted = self.live_logl[lsort_idx_pre]
+        births = np.asarray(getattr(self, "live_birth", None)
+                            if getattr(self, "live_birth", None) is not None
+                            else np.full(self.nlive, -np.inf), float)
+        # thread-aware live counts for the recycling ramp: a point born at
+        # (or above) the current death level is not active there — its
+        # thread covers only (birth, death] — so it must not be counted.
+        # When every birth lies below the lowest live logl (a completed
+        # final round) this reduces exactly to the plain nlive..1 ramp;
+        # after a mid-round stop the refills born at the round threshold
+        # drop out below it.  n_i = (nlive - i) - #{births >= logl_i}
+        # (points already recycled, j < i, always have birth < logl_j <=
+        # logl_i, so the count can be taken over all live births).
+        births_sorted = np.sort(births)
+        cnt_ge = self.nlive - np.searchsorted(births_sorted, logl_sorted,
+                                              side="left")
+        ramp_n = np.maximum(self.nlive - np.arange(self.nlive) - cnt_ge, 1)
         if not self.plateau_mode:
-            logvols = np.log(1.0 - (np.arange(self.nlive) + 1.0) /
-                             (self.nlive + 1.0))
+            # cumulative prod of E[Beta(n_i,1)] shrinkages; equals
+            # log(1-(i+1)/(nlive+1)) when ramp_n is the plain ramp
+            logvols = np.cumsum(-np.log1p(1.0 / ramp_n))
         else:
             # consume the remaining plateau at its fixed delta-vol first
             logvols = np.log1p(-((1 + np.arange(self.plateau_counter)) *
@@ -911,6 +1129,8 @@ class Sampler:
             loglstar_new = self.live_logl[idx]
             boundidx = self.live_bound[idx]
             point_it = self.live_it[idx]
+            birth = getattr(self, "live_birth", None)
+            birth = birth[idx] if birth is not None else -np.inf
 
             logwt, logz, logzvar, h = progress_integration(
                 loglstar, loglstar_new, logz, logzvar, logvol, dlv, h)
@@ -922,6 +1142,9 @@ class Sampler:
                      logvol=logvol, logwt=logwt, logz=logz,
                      logzvar=logzvar, h=h,
                      nc=1,  # bookkeeping placeholder (no eval happened)
+                     n=int(ramp_n[i]) if not self.plateau_mode
+                     else self.nlive - i,
+                     birth=birth,
                      boundidx=boundidx, it=point_it, bounditer=bounditer,
                      scale=self.internal_sampler.scale, blob=old_blob,
                      proposal_stats=None))
@@ -930,7 +1153,11 @@ class Sampler:
             yield IteratorResult(worst=idx, ustar=ustar, vstar=vstar,
                                  loglstar=loglstar, logvol=logvol,
                                  logwt=logwt, logz=logz, logzvar=logzvar,
-                                 h=h, nc=1, blob=old_blob,
+                                 h=h, nc=1,
+                                 n=int(ramp_n[i]) if not self.plateau_mode
+                                 else self.nlive - i,
+                                 birth=birth,
+                                 blob=old_blob,
                                  worst_it=point_it, boundidx=boundidx,
                                  bounditer=bounditer, eff=self.eff,
                                  delta_logz=delta_logz,
@@ -943,8 +1170,8 @@ class Sampler:
                              "list of samples!")
         self.added_live = False
         for k in ("id", "u", "v", "logl", "logvol", "logwt", "logz",
-                  "logzvar", "h", "nc", "boundidx", "it", "bounditer",
-                  "scale", "blob", "proposal_stats"):
+                  "logzvar", "h", "nc", "n", "birth", "boundidx", "it",
+                  "bounditer", "scale", "blob", "proposal_stats"):
             del self.saved_run[k][-self.nlive:]
 
     def run_nested(self, maxiter=None, maxcall=None, dlogz=None,
@@ -952,6 +1179,10 @@ class Sampler:
                    print_func=None, save_bounds=True, checkpoint_file=None,
                    checkpoint_every=60, resume=False):
         """Run the full static fit (driver around :meth:`sample`)."""
+        if resume and self.added_live:
+            warnings.warn("Cannot resume a successfully finished run; "
+                          "no sampling performed.", RuntimeWarning)
+            return
         if dlogz is None:
             if add_live:
                 dlogz = 1e-3 * (self.nlive - 1.0) + 0.01

@@ -18,7 +18,8 @@ from .._version import __version__
 
 __all__ = ["save_sampler", "restore_sampler"]
 
-FORMAT_VERSION = 1
+# 2: per-point birth thresholds added to live state and records
+FORMAT_VERSION = 2
 
 
 def save_sampler(sampler, fname):

@@ -23,8 +23,8 @@ __all__ = [
 IteratorResult = namedtuple("IteratorResult", [
     "worst", "ustar", "vstar", "loglstar", "logvol", "logwt", "logz",
     "logzvar", "h", "nc", "blob", "worst_it", "boundidx", "bounditer",
-    "eff", "delta_logz", "proposal_stats"
-])
+    "eff", "delta_logz", "proposal_stats", "n", "birth"
+], defaults=[None, None])
 
 # coarse-grained yield of Sampler.sample(per_dispatch=True): one fused
 # device dispatch worth of iterations (n accepted records, nc likelihood
@@ -135,8 +135,9 @@ class DelayTimer:
 def _format_status(results, niter, ncall, add_live_it=None, dlogz=None,
                    stop_val=None, nbatch=None, logl_min=-np.inf,
                    logl_max=np.inf):
-    (_, _, _, loglstar, logvol, logwt, logz, logzvar, h, nc, _, _, _,
-     _, eff, delta_logz, _) = results
+    loglstar, logz, logzvar = results.loglstar, results.logz, \
+        results.logzvar
+    nc, eff, delta_logz = results.nc, results.eff, results.delta_logz
     logzerr = np.sqrt(max(logzvar, 0.0))
     delta_logz = min(delta_logz, 1e10)  # readable early-run display
     bits = [f"iter: {niter:d}"]
@@ -160,29 +161,133 @@ def _format_status(results, niter, ncall, add_live_it=None, dlogz=None,
     return " | ".join(bits)
 
 
+class EtaEstimator:
+    """Remaining-iteration estimate for progress display (reference
+    ``utils.py:380-499``).
+
+    Static runs fit a slope to the recent ``ln(delta_logz)`` trend (the
+    residual evidence decays geometrically, so the trend is ~linear) and
+    extrapolate to the ``dlogz`` target; dynamic batches with a finite
+    log-likelihood bracket use the fraction of the bracket crossed."""
+
+    def __init__(self, max_points=10):
+        self.history = []  # (niter, ln delta_logz)
+        self.times = []  # (time, niter)
+        self.max_points = max_points
+        self.batch = None
+        self.batch_start = None
+
+    def _push(self, store, point):
+        if len(store) == 0 or point[0] > store[-1][0]:
+            store.append(point)
+            if len(store) > self.max_points:
+                store.pop(0)
+
+    def remaining_iters(self, niter, delta_logz, dlogz, nbatch=None,
+                        loglstar=None, logl_min=-np.inf, logl_max=np.inf):
+        """Estimated iterations left, or None when no estimate exists."""
+        if (nbatch is not None and loglstar is not None
+                and np.isfinite(logl_min) and np.isfinite(logl_max)
+                and np.isfinite(loglstar) and logl_max > logl_min):
+            if self.batch != nbatch:
+                self.batch = nbatch
+                self.batch_start = niter
+            prog = float(np.clip(
+                (loglstar - logl_min) / (logl_max - logl_min), 0.0, 0.999))
+            if prog <= 1e-3:
+                return None
+            done = max(niter - self.batch_start, 1)
+            rem = done * (1.0 - prog) / prog
+            return int(np.ceil(rem)) if np.isfinite(rem) else None
+        if dlogz is None or not np.isfinite(dlogz) or dlogz <= 0:
+            return None
+        if delta_logz is None or not (np.isfinite(delta_logz)
+                                      and delta_logz > dlogz):
+            return 0
+        self._push(self.history, (niter, np.log(delta_logz)))
+        if len(self.history) < 3:
+            return None
+        pts = np.asarray(self.history, dtype=float)
+        if np.allclose(pts[:, 0], pts[0, 0]):
+            return None
+        slope = np.polyfit(pts[:, 0], pts[:, 1], 1)[0]
+        if slope >= 0:
+            return None
+        rem = (np.log(delta_logz) - np.log(dlogz)) / (-slope)
+        return int(np.ceil(rem)) if np.isfinite(rem) else None
+
+    def eta_seconds(self, niter, rem_iters):
+        """Wall-clock estimate from the recent iteration rate."""
+        self._push(self.times, (time.time(), niter))
+        if rem_iters is None or len(self.times) < 2:
+            return None
+        (t0, n0), (t1, n1) = self.times[0], self.times[-1]
+        if n1 <= n0:
+            return None
+        return rem_iters * (t1 - t0) / (n1 - n0)
+
+
+def _terminal_width(default=200):
+    """Display width for the fallback progress line (reference
+    ``utils.py:714-731`` adapts to the terminal)."""
+    import shutil
+
+    try:
+        return max(shutil.get_terminal_size((default, 20)).columns, 40)
+    except Exception:
+        return default
+
+
+_PRINT_ETA = EtaEstimator()
+
+
 def print_fn(results, niter, ncall, add_live_it=None, dlogz=None,
              stop_val=None, nbatch=None, logl_min=-np.inf, logl_max=np.inf):
-    """Default progress line printed to stderr (carriage-return style)."""
+    """Default progress line printed to stderr (carriage-return style,
+    width-adapted to the terminal, with an ETA estimate)."""
     line = _format_status(results, niter, ncall, add_live_it=add_live_it,
                           dlogz=dlogz, stop_val=stop_val, nbatch=nbatch,
                           logl_min=logl_min, logl_max=logl_max)
-    sys.stderr.write("\r" + line[:200].ljust(120))
+    rem = _PRINT_ETA.remaining_iters(niter, results.delta_logz, dlogz,
+                                     nbatch=nbatch,
+                                     loglstar=results.loglstar,
+                                     logl_min=logl_min, logl_max=logl_max)
+    eta = _PRINT_ETA.eta_seconds(niter, rem)
+    if eta is not None and eta > 0:
+        m, s = divmod(int(eta), 60)
+        h, m = divmod(m, 60)
+        line += f" | eta: {h:d}:{m:02d}:{s:02d}" if h else \
+            f" | eta: {m:d}:{s:02d}"
+    width = _terminal_width() - 1
+    sys.stderr.write("\r" + line[:width].ljust(min(width, 120)))
     sys.stderr.flush()
 
 
 class _TqdmPrinter:
     """Progress line through a tqdm bar (iteration counter + postfix
-    status), mirroring the reference's tqdm integration."""
+    status), mirroring the reference's tqdm integration: ``pbar.total``
+    is continuously re-estimated so tqdm shows its native ETA
+    (reference ``utils.py:408-499``)."""
 
     def __init__(self):
         from tqdm import tqdm
 
         self.pbar = tqdm(total=None, unit="it", leave=True)
+        self.eta = EtaEstimator()
 
     def __call__(self, results, niter, ncall, **kwargs):
         line = _format_status(results, niter, ncall, **kwargs)
         # strip the leading iter field; tqdm shows its own counter
         self.pbar.set_postfix_str(line.split("| ", 1)[-1], refresh=False)
+        rem = self.eta.remaining_iters(
+            niter, results.delta_logz, kwargs.get("dlogz"),
+            nbatch=kwargs.get("nbatch"), loglstar=results.loglstar,
+            logl_min=kwargs.get("logl_min", -np.inf),
+            logl_max=kwargs.get("logl_max", np.inf))
+        if rem is not None and rem > 0:
+            self.pbar.total = max(niter + rem, self.pbar.n + 1)
+        else:
+            self.pbar.total = None
         self.pbar.update(niter - self.pbar.n)
 
     def close(self):

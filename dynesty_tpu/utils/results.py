@@ -29,6 +29,7 @@ _STATIC_KEYS = [
     "boundidx",  # bound the dead point was originally drawn from
     "it",  # iteration at which the dead point was proposed
     "n",  # number of live points interior to the dead point
+    "birth",  # logl threshold the dead point was drawn above
     "bounditer",  # bound active at this iteration
     "scale",  # proposal scale at this iteration
     "blob",  # user blob attached to the likelihood call
@@ -69,11 +70,11 @@ class RunRecord:
 
 
 _RESULTS_KEYS = [
-    "logl", "samples_it", "samples_id", "samples_n", "samples_u",
-    "samples_v", "samples", "niter", "ncall", "logz", "logzerr", "logwt",
-    "eff", "nlive", "logvol", "information", "bound", "bound_iter",
-    "samples_bound", "samples_batch", "batch_logl_bounds", "batch_nlive",
-    "scale", "blob", "proposal_stats",
+    "logl", "samples_it", "samples_id", "samples_n", "samples_birth",
+    "samples_u", "samples_v", "samples", "niter", "ncall", "logz",
+    "logzerr", "logwt", "eff", "nlive", "logvol", "information", "bound",
+    "bound_iter", "samples_bound", "samples_batch", "batch_logl_bounds",
+    "batch_nlive", "scale", "blob", "proposal_stats",
 ]
 
 

@@ -27,8 +27,12 @@ __all__ = [
 
 
 def _get_nsamps_samples_n(res):
-    """Total sample count and per-iteration live point counts of a run."""
-    if res.isdynamic():
+    """Total sample count and per-iteration live point counts of a run.
+
+    Static runs from the batch (death/refill) sampler record their exact
+    sawtooth profile in ``samples_n``; it takes precedence over the
+    constant-``nlive`` reconstruction whenever present."""
+    if res.isdynamic() or "samples_n" in res.keys():
         samples_n = np.asarray(res["samples_n"])
         return len(samples_n), samples_n
     niter, nlive = res["niter"], res["nlive"]
@@ -112,12 +116,84 @@ def jitter_run(res, rstate=None, approx=False):
         })
 
 
+def _thread_counts(logl, birth):
+    """Per-sample live-thread counts of a (sorted-by-logl) run whose
+    samples carry birth thresholds: ``n_j = #{k : birth_k < logl_j <=
+    logl_k}``.  Each sample is one thread, active on ``(birth, death]``;
+    this reproduces the recorded sawtooth ``samples_n`` exactly for an
+    unresampled batch-mode run (identity verified in
+    ``tests/test_runs.py``)."""
+    n = len(logl)
+    starts = np.searchsorted(logl, birth, side="right")
+    starts = np.minimum(starts, np.arange(n))
+    ev = np.zeros(n + 1, dtype=int)
+    np.add.at(ev, starts, 1)
+    ev[1:] -= 1
+    return np.cumsum(ev[:-1])
+
+
+def _resample_run_threads(res, rstate, return_idx):
+    """Thread bootstrap for runs with per-sample birth thresholds.
+
+    Under batched death/refill a live slot is NOT one continuous
+    single-live-point strand (its refill is drawn above the round
+    threshold, not above the slot's own death), so the resampling unit
+    is the individual thread: one (birth, death) pair per sample.
+    Threads born from the prior (birth = -inf) form the baseline group;
+    the rest are add-ons (reference ``utils.py:1560-1585`` groups its
+    strands the same way by batch lower bound)."""
+    logl_all = np.asarray(res["logl"])
+    birth_all = np.asarray(res["samples_birth"])
+    base_idx = np.nonzero(np.isneginf(birth_all))[0]
+    addon_idx = np.nonzero(~np.isneginf(birth_all))[0]
+    nbase, nadd = len(base_idx), len(addon_idx)
+    if nbase == 0:
+        raise ValueError("Run contains no threads sampled from the "
+                         "prior!")
+    sel = base_idx[rstate.integers(0, nbase, size=nbase)]
+    if nadd > 0:
+        sel = np.append(sel,
+                        addon_idx[rstate.integers(0, nadd, size=nadd)])
+    order = np.argsort(logl_all[sel], kind="stable")
+    samp_idx = sel[order]
+    logl = logl_all[samp_idx]
+    birth = birth_all[samp_idx]
+    n_new = len(samp_idx)
+    samp_n = _thread_counts(logl, birth)
+    logvol = np.cumsum(np.log(samp_n / (samp_n + 1.0)))
+    logwt, logz, logzvar, h = compute_integrals(logl=logl, logvol=logvol)
+    ncall = np.asarray(res["ncall"])[samp_idx]
+    blob = np.asarray(res["blob"]) if res["blob"] is not None else None
+    new_res = Results(
+        dict(niter=n_new,
+             ncall=ncall,
+             eff=100.0 * n_new / ncall.sum(),
+             blob=blob[samp_idx] if blob is not None else None,
+             samples=np.asarray(res["samples"])[samp_idx],
+             samples_id=np.asarray(res["samples_id"])[samp_idx],
+             samples_it=np.asarray(res["samples_it"])[samp_idx],
+             samples_u=np.asarray(res["samples_u"])[samp_idx],
+             samples_n=samp_n,
+             samples_birth=birth,
+             logwt=logwt,
+             logl=logl,
+             logvol=logvol,
+             logz=logz,
+             logzerr=np.sqrt(np.maximum(logzvar, 0)),
+             information=h))
+    if return_idx:
+        return new_res, samp_idx
+    return new_res
+
+
 def resample_run(res, rstate=None, return_idx=False):
     """Bootstrap the run's single-live-point strands into a new realization
     (sampling uncertainties).  Strands whose batch lower bound is -inf form
     the "baseline" group; others are "add-ons" resampled separately."""
     if rstate is None:
         rstate = get_random_generator()
+    if "samples_birth" in res.keys():
+        return _resample_run_threads(res, rstate, return_idx)
 
     nsamps = len(res["ncall"])
     if res.isdynamic():
@@ -128,13 +204,17 @@ def resample_run(res, rstate=None, return_idx=False):
     else:
         nlive, niter = res["nlive"], res["niter"]
         if nsamps == niter:
-            samples_n = np.full(niter, nlive, dtype=int)
             added_final_live = False
         elif nsamps == niter + nlive:
-            samples_n = np.minimum(np.arange(nsamps, 0, -1), nlive)
             added_final_live = True
         else:
             raise ValueError("Number of samples disagrees with niter/nlive.")
+        if "samples_n" in res.keys():
+            samples_n = np.asarray(res["samples_n"])
+        elif added_final_live:
+            samples_n = np.minimum(np.arange(nsamps, 0, -1), nlive)
+        else:
+            samples_n = np.full(niter, nlive, dtype=int)
         samples_batch = np.zeros(nsamps, dtype=int)
         batch_logl_bounds = np.array([(-np.inf, np.inf)])
     batch_llmin = batch_logl_bounds[:, 0]
@@ -233,12 +313,69 @@ def reweight_run(res, logp_new, logp_old=None):
         })
 
 
+def _unravel_run_threads(res):
+    """Decompose a birth-carrying (batch-mode) run into birth cohorts.
+
+    Slot ids are NOT valid strands under batched death/refill (a refill
+    is born at the round threshold, not at the slot's own death), so the
+    independent units are threads grouped by common birth threshold: the
+    prior-born cohort (birth = -inf) is a complete little run, and each
+    round's refill cohort is a lower-bounded batch run.  ``merge_runs``
+    over the returned list reconstructs the original run's profile."""
+    logl_all = np.asarray(res["logl"])
+    birth_all = np.asarray(res["samples_birth"])
+    out = []
+    for bi, b in enumerate(np.unique(birth_all)):
+        sel = np.nonzero(birth_all == b)[0]
+        order = sel[np.argsort(logl_all[sel], kind="stable")]
+        m = len(order)
+        logl = logl_all[order]
+        # m single-live threads with a common birth: at any level the
+        # active count is the number not yet dead — a pure m..1 ramp
+        samples_n = np.arange(m, 0, -1)
+        logvol = np.cumsum(np.log(samples_n / (samples_n + 1.0)))
+        logwt, logz, logzvar, h = compute_integrals(logl=logl,
+                                                    logvol=logvol)
+        ncall = np.asarray(res["ncall"])[order]
+        blob = np.asarray(res["blob"])[order] \
+            if res["blob"] is not None else None
+        is_base = np.isneginf(b)
+        out.append(Results(
+            dict(niter=m,
+                 ncall=ncall,
+                 eff=100.0 * m / ncall.sum(),
+                 samples=np.asarray(res["samples"])[order],
+                 samples_id=np.asarray(res["samples_id"])[order],
+                 samples_it=np.asarray(res["samples_it"])[order],
+                 samples_u=np.asarray(res["samples_u"])[order],
+                 samples_n=samples_n,
+                 samples_birth=birth_all[order],
+                 samples_batch=np.zeros(m, dtype=int) if is_base
+                 else np.ones(m, dtype=int),
+                 batch_logl_bounds=(np.array([(-np.inf, np.inf)])
+                                    if is_base
+                                    else np.array([(-np.inf, np.inf),
+                                                   (b, np.inf)])),
+                 blob=blob,
+                 logwt=logwt,
+                 logl=logl,
+                 logvol=logvol,
+                 logz=logz,
+                 logzerr=np.sqrt(np.maximum(logzvar, 0)),
+                 information=h)))
+    return out
+
+
 def unravel_run(res, print_progress=False):
-    """Split a K-live-point run into K single-live-point strand runs.
+    """Split a K-live-point run into K single-live-point strand runs
+    (or, for batch-mode runs carrying per-sample birth thresholds, into
+    birth cohorts — see :func:`_unravel_run_threads`).
 
     Ancillary quantities of a strand are only valid if that point was
     initialized from the prior.
     """
+    if "samples_birth" in res.keys():
+        return _unravel_run_threads(res)
     idxs = np.asarray(res["samples_id"])
     added_live = True
     try:
@@ -310,10 +447,12 @@ def _prepare_for_merge(res):
                 logl=np.asarray(res["logl"]),
                 nc=np.asarray(res["ncall"]),
                 it=np.asarray(res["samples_it"]),
+                birth=(np.asarray(res["samples_birth"])
+                       if "samples_birth" in res.keys() else None),
                 blob=(np.asarray(res["blob"])
                       if res["blob"] is not None else None))
     nrun = len(info["id"])
-    if res.isdynamic():
+    if res.isdynamic() or "samples_n" in res.keys():
         run_nlive = np.asarray(res["samples_n"])
     else:
         niter, nlive = res["niter"], res["nlive"]
@@ -455,6 +594,9 @@ def _merge_two(res1, res2, compute_aux=False):
              samples_n=merged_n,
              samples_u=_gather("u"),
              samples_batch=merged_batch)
+    merged_birth = _gather("birth")
+    if merged_birth is not None:
+        r["samples_birth"] = merged_birth
 
     if compute_aux:
         logwt, logz, logzvar, h = compute_integrals(logl=r["logl"],
@@ -517,6 +659,14 @@ def check_result_static(res):
     nlive_test = np.minimum(np.arange(niter, 0, -1), nlive)
     if samples_n.size == niter and np.all(samples_n == nlive_test):
         standard = True
+    # batch-mode baseline: a single prior-sampled batch with a sawtooth
+    # live-count profile IS a static-format run (the same shape our
+    # static sampler emits: scalar ``nlive`` plus the exact per-death
+    # ``samples_n`` column, which survives the conversion)
+    if not standard and "batch_logl_bounds" in res.keys():
+        bounds = np.asarray(res["batch_logl_bounds"])
+        if bounds.shape[0] == 1 and bounds[0, 0] == -np.inf:
+            standard = True
     if standard:
         rd = res.asdict()
         rd["nlive"] = nlive

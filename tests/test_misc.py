@@ -225,3 +225,24 @@ def test_bound_versions_globally_unique():
         s.run_nested(maxiter=80, print_progress=False, add_live=False)
         assert s.bound_version not in seen
         seen.add(s.bound_version)
+
+
+def test_exception_context(capsys):
+    """User-function exceptions are re-raised with the offending point
+    printed (reference ``dynesty.py:794-810``,
+    ``tests/test_misc.py:239-249``)."""
+    import pytest
+
+    def bad_loglike(x):
+        raise RuntimeError("user function blew up")
+
+    def ptform(u):
+        return 2.0 * u - 1.0
+
+    rstate = get_rstate()
+    with pytest.raises(RuntimeError, match="user function blew up"):
+        dytpu.NestedSampler(bad_loglike, ptform, 2, nlive=20,
+                            rstate=rstate, likelihood_mode="host")
+    err = capsys.readouterr().err
+    assert "Exception while calling loglikelihood function" in err
+    assert "params:" in err

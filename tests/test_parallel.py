@@ -55,6 +55,61 @@ def test_sharded_run():
     assert abs(res.logz[-1] - LOGZ_TRUTH) < 5 * res.logzerr[-1]
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("sample", ["unif", "rslice"])
+def test_mesh_equivalence(sample):
+    """An 8-device sharded run must reproduce the 1-device run: same RNG
+    stream, same proposals, same records (up to reduction round-off)."""
+    loglike, ptform = _gau()
+    results = {}
+    for m in (make_mesh(8), None):
+        rstate = get_rstate()
+        sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=200,
+                                      bound="single", sample=sample,
+                                      rstate=rstate, queue_size=64, mesh=m)
+        sampler.run_nested(print_progress=False, maxiter=500,
+                           add_live=False)
+        results["mesh" if m else "single"] = sampler.results
+    rm, rs = results["mesh"], results["single"]
+    assert int(np.sum(rm.ncall)) == int(np.sum(rs.ncall))
+    assert len(rm.logl) == len(rs.logl)
+    assert np.allclose(rm.logl, rs.logl, rtol=1e-10)
+    assert np.allclose(rm.logz[-1], rs.logz[-1], rtol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_compute_is_partitioned():
+    """The round's proposal block must be lane-sharded over the mesh:
+    each device owns exactly q/n_devices lanes."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    loglike, ptform = _gau()
+    mesh = make_mesh(8)
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=200,
+                                  bound="single", sample="rslice",
+                                  rstate=rstate, queue_size=64, mesh=mesh)
+    sampler.run_nested(print_progress=False, maxiter=200, add_live=False)
+    sh = sampler.last_proposals_sharding
+    assert sh == NamedSharding(mesh, PartitionSpec("q"))
+    # per-device slice of the lane axis
+    q = sampler.queue_size * sampler.rounds_per_dispatch
+    shard_rows = q // 8
+    assert sh.shard_shape((q, 11))[0] == shard_rows
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_queue_divisibility():
+    # queue width is rounded to a multiple of the mesh size
+    loglike, ptform = _gau()
+    mesh = make_mesh(8)
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                  bound="single", sample="rwalk",
+                                  rstate=get_rstate(), queue_size=35,
+                                  mesh=mesh)
+    assert sampler.queue_size % 8 == 0
+
+
 def test_graft_entry():
     import importlib.util
     import os

@@ -1,0 +1,76 @@
+"""Progress-printing tests (reference ``tests/test_printing.py``): both
+the tqdm and the raw-stderr fallback printers must work, and the ETA
+estimator must extrapolate the dlogz trend sensibly."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import dynesty_tpu as dytpu
+from dynesty_tpu.utils.misc import EtaEstimator, print_fn, get_print_func
+
+from utils import get_rstate
+
+NDIM = 2
+LNORM = -0.5 * np.log(2 * np.pi) * NDIM
+
+
+def loglike(x):
+    return -0.5 * jnp.sum(x * x) + LNORM
+
+
+def ptform(u):
+    return 10.0 * (2.0 * u - 1.0)
+
+
+def _run(print_func=None):
+    rstate = get_rstate()
+    s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=60,
+                            bound="single", sample="unif", rstate=rstate,
+                            queue_size=16)
+    s.run_nested(print_progress=True, print_func=print_func, maxiter=300)
+    return s
+
+
+def test_printing_tqdm(capsys):
+    _run()
+    err = capsys.readouterr().err
+    assert "logz" in err or "it" in err
+
+
+def test_printing_fallback(capsys):
+    _run(print_func=print_fn)
+    err = capsys.readouterr().err
+    assert "logz:" in err
+    assert "eff(%)" in err
+
+
+def test_get_print_func_silent():
+    pbar, fn = get_print_func(None, False)
+    assert pbar is None
+    fn(None, 0, 0)  # no-op must swallow anything
+
+
+def test_eta_estimator_static():
+    eta = EtaEstimator()
+    # geometric decay: delta_logz halves every 50 iterations
+    rem_prev = None
+    for i, n in enumerate(range(0, 500, 50)):
+        delta = 100.0 * 0.5 ** i
+        rem = eta.remaining_iters(n, delta, 0.01)
+    # at delta=100*0.5^9~0.2, ~4.3 halvings to 0.01 => ~215 iters
+    assert rem is not None
+    assert 100 < rem < 400
+    # already converged => 0 remaining
+    assert eta.remaining_iters(500, 0.005, 0.01) == 0
+
+
+def test_eta_estimator_batch():
+    eta = EtaEstimator()
+    # batch bracket [0, 10], loglstar crossed 25% after 100 iters
+    rem = eta.remaining_iters(100, None, None, nbatch=1, loglstar=0.0,
+                              logl_min=0.0, logl_max=10.0)
+    assert rem is None  # no progress yet
+    rem = eta.remaining_iters(200, None, None, nbatch=1, loglstar=2.5,
+                              logl_min=0.0, logl_max=10.0)
+    assert rem is not None
+    assert 250 < rem < 350  # 100 iters for 25% => ~300 remaining

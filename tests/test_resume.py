@@ -130,6 +130,81 @@ def test_pickle_roundtrip():
     assert sampler2.it >= sampler.it
 
 
+def _measure_runtime(dynamic, tmp):
+    """Wall-clock of one full (uninterrupted) fit in a child process."""
+    import multiprocessing as mp
+    import time
+
+    import resume_child
+
+    ctx = mp.get_context("spawn")
+    queue = ctx.Queue()
+    fname = os.path.join(tmp, "full.pkl")
+    t0 = time.time()
+    p = ctx.Process(target=resume_child.child_main,
+                    args=(dynamic, fname, queue))
+    p.start()
+    full = queue.get(timeout=600)
+    p.join()
+    return time.time() - t0, full
+
+
+_FULL_RUN_CACHE = {}
+
+
+def _sigterm_resume_case(dynamic, frac):
+    """Kill a checkpointing child at ``frac`` of its measured runtime,
+    restore, finish, and require the final result to be bit-identical to
+    the uninterrupted run (reference ``tests/test_resume.py:106-109``)."""
+    import multiprocessing as mp
+    import time
+
+    import pytest
+    import resume_child
+
+    with tempfile.TemporaryDirectory() as tmp:
+        if dynamic not in _FULL_RUN_CACHE:
+            _FULL_RUN_CACHE[dynamic] = _measure_runtime(dynamic, tmp)
+        runtime, full = _FULL_RUN_CACHE[dynamic]
+        ctx = mp.get_context("spawn")
+        queue = ctx.Queue()
+        fname = os.path.join(tmp, "interrupted.pkl")
+        p = ctx.Process(target=resume_child.child_main,
+                        args=(dynamic, fname, queue))
+        p.start()
+        time.sleep(frac * runtime)
+        p.terminate()
+        p.join()
+        if not os.path.exists(fname):
+            # killed before the first checkpoint could be written (can
+            # happen at small fractions when compile dominates)
+            pytest.skip("child killed before first checkpoint")
+        resumed = resume_child.resume_fit(dynamic, fname)
+    assert resumed[0] == full[0], (resumed, full)  # logz bit-identical
+    assert resumed[1] == full[1], (resumed, full)  # logzerr bit-identical
+    assert resumed[2] == full[2], (resumed, full)  # niter identical
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("frac", [0.5, 0.9])
+def test_sigterm_resume_static(frac):
+    _sigterm_resume_case(False, frac)
+
+
+@pytest.mark.parametrize("frac", [0.5, 0.9])
+def test_sigterm_resume_dynamic(frac):
+    _sigterm_resume_case(True, frac)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dynamic", [False, True])
+@pytest.mark.parametrize("frac", [0.2, 0.75])
+def test_sigterm_resume_more_fractions(dynamic, frac):
+    _sigterm_resume_case(dynamic, frac)
+
+
 def test_dynamic_midbatch_resume():
     # interrupt a dynamic run mid-batch via a checkpoint, restore, and
     # finish: results must be bit-identical to an uninterrupted run

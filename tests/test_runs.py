@@ -62,6 +62,20 @@ def test_resample(gau_run):
     assert np.all(np.diff(new["logl"]) >= 0)
 
 
+def test_thread_count_identity(gau_run):
+    """The recorded sawtooth ``samples_n`` must be exactly reconstructible
+    from the per-sample (birth, death) thread intervals — the invariant
+    the thread-based error analysis (resample/unravel) rests on."""
+    from dynesty_tpu.utils.runs import _thread_counts
+
+    logl = np.asarray(gau_run["logl"])
+    birth = np.asarray(gau_run["samples_birth"])
+    assert np.all(birth < logl)
+    assert np.sum(np.isneginf(birth)) >= gau_run.nlive
+    n_rec = _thread_counts(logl, birth)
+    assert np.array_equal(n_rec, np.asarray(gau_run["samples_n"]))
+
+
 def test_kld(gau_run):
     rstate = get_rstate()
     kld = kld_error(gau_run, error="jitter", rstate=rstate)
@@ -83,7 +97,11 @@ def test_reweight(gau_run):
 
 def test_unravel_merge_roundtrip(gau_run):
     strands = unravel_run(gau_run)
-    assert len(strands) >= gau_run.nlive
+    # batch-mode runs unravel into birth cohorts: the prior-born run
+    # plus one lower-bounded cohort per proposal round
+    n_cohorts = len(np.unique(np.asarray(gau_run["samples_birth"])))
+    assert len(strands) == n_cohorts
+    assert sum(s["niter"] for s in strands) == len(gau_run.logl)
     merged = merge_runs(strands, print_progress=False)
     # the merged run must reproduce the original evidence within errors
     assert abs(merged["logz"][-1] - gau_run.logz[-1]) < \
