@@ -823,11 +823,16 @@ class Sampler:
                 # speculative work, which is billed honestly.
                 # endgame: when less than one full round of work remains,
                 # dispatch a narrow round instead so the terminal stop
-                # strands (and bills) at most a few lanes
+                # strands (and bills) at most a few lanes.  Only for
+                # logl_max-bracketed (dynamic batch) runs: the narrow
+                # width is a separate compiled program, and its one-time
+                # trace cost amortizes over the many batches that share
+                # it but not over a static run's single terminal dispatch
+                # (where at most one round of speculative lanes strands).
                 q_full = getattr(self, "_q_full", self.queue_size)
                 q_narrow = getattr(self, "_q_narrow", q_full)
                 if est is not None and est < 0.75 * q_full \
-                        and q_narrow < q_full:
+                        and q_narrow < q_full and np.isfinite(logl_max):
                     self.queue_size = q_narrow
                 else:
                     self.queue_size = q_full
