@@ -270,11 +270,12 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         batch_sampler.update_bound_if_needed(logl_min)
         batch_sampler.internal_sampler.scale = live_scale
 
-        # seed with a narrow queue: the fused batch loop below never
-        # consumes leftovers of this host-side queue, so a wide one only
-        # strands (billed) evaluations
-        batch_sampler.queue_size = min(batch_sampler.queue_size,
-                                       max(16, nlive_new // 8))
+        # seed with a queue exactly as wide as the seed count: every row
+        # a proposal round returns satisfies logl > logl_min, so one
+        # full-width fill is consumed completely — no stranded (billed)
+        # leftovers, and the whole seeding runs as a single device
+        # dispatch instead of nlive_new/queue_size round trips
+        batch_sampler.queue_size = nlive_new
         live_u = np.empty((nlive_new, main_sampler.ndim))
         live_v = np.empty((nlive_new, saved_v.shape[1]))
         live_logl = np.empty(nlive_new)
@@ -343,7 +344,7 @@ class DynamicSampler:
                  nlive0=None, ncdim=None, rstate=None, queue_size=None,
                  bound_update_interval_ratio=None, first_bound_update=None,
                  bound_bootstrap=0, bound_enlarge=1.0, blob=False,
-                 cite=None, rounds_per_dispatch=1, proposal_mode="batch"):
+                 cite=None, rounds_per_dispatch=8, proposal_mode="batch"):
         self.loglikelihood = loglikelihood
         self.ndim = ndim
         self.ncdim = ncdim or ndim
@@ -393,7 +394,7 @@ class DynamicSampler:
                logl_kwargs=None, ptform_args=None, ptform_kwargs=None,
                enlarge=None, bootstrap=None, walks=None, facc=0.5,
                slices=None, ncdim=None, blob=False, likelihood_mode="jax",
-               rounds_per_dispatch=1, proposal_mode="batch",
+               rounds_per_dispatch=8, proposal_mode="batch",
                save_evaluation_history=False, history_filename=None):
         """Factory with the reference ``DynamicNestedSampler`` signature
         (``dynesty.py:691-774``)."""

@@ -211,7 +211,7 @@ class NestedSampler(Sampler):
                  ptform_args=None, ptform_kwargs=None, enlarge=None,
                  bootstrap=None, walks=None, facc=0.5, slices=None,
                  ncdim=None, blob=False, likelihood_mode="jax",
-                 mesh=None, rounds_per_dispatch=1,
+                 mesh=None, rounds_per_dispatch=8,
                  proposal_mode="batch",
                  save_evaluation_history=False, history_filename=None):
         cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,

@@ -395,7 +395,13 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         def round_step(carry, rinp):
             rkey, ridx = rinp
             # rounds past the runtime cap are skipped entirely via
-            # lax.cond (no likelihood work, nothing billed)
+            # lax.cond (no likelihood work, nothing billed).  Rounds
+            # after an in-flight stopping cause still propose (their
+            # work is billed as stranded speculation); gating them on
+            # the carried done flag was measured ~30% slower on the
+            # 25-D benchmark — a carry-dependent cond blocks XLA's
+            # scan pipelining — for zero call savings, since the
+            # host's est-based rounds_active already bounds overshoot.
             forced_off = ridx >= rounds_active
 
             def do_round(carry):

@@ -323,7 +323,7 @@ class Sampler:
         self.saved_run = RunRecord()
         for k in ("_integ", "_pending_records", "_leftover", "_live_dev",
                   "_live_blob_dev", "_mirror_stale", "_bound_upload",
-                  "_nc_carry"):
+                  "_nc_carry", "_nc_per_round_ema"):
             self.__dict__.pop(k, None)
 
     # ------------------------------------------------------------------
@@ -836,6 +836,13 @@ class Sampler:
                     self.queue_size = q_narrow
                 else:
                     self.queue_size = q_full
+                # NOTE on refit cadence: chained rounds coarsen the
+                # bound-refit granularity to dispatch boundaries.  That
+                # is safe for the MCMC kernels (the bound only supplies
+                # starts/axes; per-round scale tuning runs on device),
+                # while the rejection-efficiency-sensitive uniform
+                # kernels never chain (max_rounds_per_dispatch = 1), so
+                # their refit checks still fire every round.
                 if est is None:
                     rounds_active = None
                 else:
