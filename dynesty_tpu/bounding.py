@@ -136,7 +136,8 @@ class UnitCube(Bound):
 class Ellipsoid(Bound):
     """An ellipsoid { x : (x-c)^T A (x-c) <= 1 }."""
 
-    def __init__(self, ndim, ctr=None, cov=None, am=None, axes=None):
+    def __init__(self, ndim, ctr=None, cov=None, am=None, axes=None,
+                 eig=None):
         super().__init__(ndim)
         if ctr is None:
             ctr = np.zeros(ndim) + 0.0  # reference default center is 0
@@ -144,7 +145,13 @@ class Ellipsoid(Bound):
         self.ctr = np.asarray(ctr, dtype=np.float64)
         self.cov = np.asarray(cov, dtype=np.float64)
 
-        vals, vecs = np.linalg.eigh(self.cov)
+        if eig is not None:
+            # caller already decomposed cov (e.g. improve_covar_mat):
+            # skip the redundant eigh — it dominates the recursive
+            # multi-ellipsoid splitter's cost otherwise
+            vals, vecs = eig
+        else:
+            vals, vecs = np.linalg.eigh(self.cov)
         if not (np.all(vals > 0.0) and np.isfinite(vals).all()):
             raise ValueError(
                 f"Singular covariance {self.cov} for ellipsoid (l={vals}).")
@@ -586,19 +593,22 @@ def bounding_ellipsoid(points):
     one_minus = 1.0 - 1e-3
 
     for attempt in range(2):
-        good_mat, covar, am, axes = improve_covar_mat(covar)
+        good_mat, covar, am, axes, (evals, evecs) = \
+            improve_covar_mat(covar)
         fmax = np.einsum("ij,jk,ik->i", delta, am, delta).max()
         if attempt == 0 and fmax > one_minus:
             mult = fmax / one_minus
             covar = covar * mult
             am = am / mult
             axes = axes * np.sqrt(mult)
+            evals = evals * mult
         if attempt == 1 and fmax >= 1:
             raise RuntimeError("Could not scale the ellipsoid to contain "
                                "all the points.")
         if good_mat:
             break
-    return Ellipsoid(ndim, ctr=ctr, cov=covar, am=am, axes=axes)
+    return Ellipsoid(ndim, ctr=ctr, cov=covar, am=am, axes=axes,
+                     eig=(evals, evecs))
 
 
 def _kmeans2(points, start_ctrs, niter=10):

@@ -136,9 +136,11 @@ def improve_covar_mat(covar0, ntries=100, max_condition_number=1e12):
     ill-conditioned, mirroring the reference self-healing logic
     (``bounding.py:1311-1384``).
 
-    Returns ``(good, covar, am, axes)`` where ``good`` means no repair was
-    needed, ``am`` is the precision matrix and ``axes`` the principal-axis
-    transform (columns scaled eigenvectors).
+    Returns ``(good, covar, am, axes, (eigval, eigvec))`` where ``good``
+    means no repair was needed, ``am`` is the precision matrix, ``axes``
+    the principal-axis transform (columns scaled eigenvectors), and the
+    final tuple is the eigendecomposition of the returned ``covar`` so
+    callers can avoid a redundant ``eigh``.
     """
     ndim = covar0.shape[0]
     covar = np.array(covar0, dtype=np.float64)
@@ -179,7 +181,8 @@ def improve_covar_mat(covar0, ntries=100, max_condition_number=1e12):
         warnings.warn("Could not condition the ellipsoid covariance; "
                       "falling back to a unit sphere.")
         covar = np.eye(ndim)
-        return False, covar, covar.copy(), covar.copy()
+        return (False, covar, covar.copy(), covar.copy(),
+                (np.ones(ndim), np.eye(ndim)))
 
     am = (eigvec * (1.0 / eigval)) @ eigvec.T
-    return trial == 0, covar, am, axes
+    return trial == 0, covar, am, axes, (eigval, eigvec)

@@ -119,12 +119,14 @@ def test_logvol_prefactor():
 
 
 def test_improve_covar():
-    good, cov, am, axes = improve_covar_mat(np.eye(3))
+    good, cov, am, axes, (ev, evec) = improve_covar_mat(np.eye(3))
     assert good
     assert np.allclose(cov, np.eye(3))
+    # the returned eigendecomposition reconstructs cov
+    assert np.allclose((evec * ev) @ evec.T, cov)
     # singular matrix gets repaired
     singular = np.outer([1.0, 1.0], [1.0, 1.0])
-    good, cov, am, axes = improve_covar_mat(singular)
+    good, cov, am, axes, _ = improve_covar_mat(singular)
     assert not good
     vals = np.linalg.eigvalsh(cov)
     assert np.all(vals > 0)
