@@ -73,13 +73,18 @@ def _resolve_span(span, samples, weights, ndim):
     return span
 
 
-def runplot(results, span=None, logplot=False, kde=False, color="blue",
+def runplot(results, span=None, logplot=False, kde=False, nkde=1000,
+            color="blue",
             plot_kwargs=None, label_kwargs=None, lnz_error=True,
             lnz_truth=None, truth_color="red", truth_kwargs=None,
             max_x_ticks=8, max_y_ticks=3, use_math_text=True,
             mark_final_live=True, fig=None):
     """Four-panel summary of the run: live points, log-likelihood,
-    importance weight PDF, and cumulative evidence vs -ln(X)."""
+    importance weight PDF, and cumulative evidence vs -ln(X).
+
+    ``kde=True`` smooths the weight panel with a Gaussian kernel density
+    estimate of weighted ``-ln X`` draws, evaluated on an ``nkde``-point
+    grid (reference ``plotting.py:255-259``)."""
     _check_mpl()
     plot_kwargs = dict(plot_kwargs or {})
     label_kwargs = dict(label_kwargs or {})
@@ -96,6 +101,20 @@ def runplot(results, span=None, logplot=False, kde=False, color="blue",
     logz = np.asarray(results["logz"])
     logzerr = np.asarray(results["logzerr"])
     x = -logvol
+    x_wt = x
+
+    if kde:
+        # weighted Gaussian KDE of -lnX (Scott's rule bandwidth),
+        # evaluated on a regular grid — smooths the sawtooth weight curve
+        w = wt_pdf / wt_pdf.sum()
+        mu = np.sum(w * x)
+        sd = np.sqrt(max(np.sum(w * (x - mu) ** 2), 1e-300))
+        neff = 1.0 / np.sum(w ** 2)
+        bw = sd * neff ** (-1.0 / 5.0)
+        x_wt = np.linspace(x.min(), x.max(), nkde)
+        z = (x_wt[:, None] - x[None, :]) / bw
+        dens = (np.exp(-0.5 * z ** 2) * w[None, :]).sum(axis=1)
+        wt_pdf = dens / max(dens.max(), 1e-300)
 
     fig, axes = _make_subplots(fig, 4, 1, 16, 16)
     axes = axes.ravel()
@@ -103,8 +122,9 @@ def runplot(results, span=None, logplot=False, kde=False, color="blue",
     labels = ["Live Points", "Likelihood\n(normalized)",
               "Importance\nWeight PDF", "log(Evidence)"]
 
+    xdata = [x, x, x_wt, x]
     for i, (ax, d, lab) in enumerate(zip(axes, data, labels)):
-        ax.plot(x, d, color=color, **plot_kwargs)
+        ax.plot(xdata[i], d, color=color, **plot_kwargs)
         ax.set_ylabel(lab, **label_kwargs)
         if max_x_ticks == 0:
             ax.xaxis.set_major_locator(NullLocator())
@@ -349,9 +369,13 @@ def cornerplot(results, dims=None, span=None, quantiles=(0.025, 0.5, 0.975),
 
 
 def _sample_bound(results, it=None, idx=None, prior_transform=None,
-                  ndraws=5000, rstate=None):
+                  ndraws=5000, rstate=None, periodic=None,
+                  reflective=None):
     """Draw points from the bound active at iteration ``it`` (or the one
-    that proposed dead point ``idx``)."""
+    that proposed dead point ``idx``).  ``periodic``/``reflective`` list
+    dimensions whose draws are wrapped back into the unit cube before
+    the prior transform (reference ``plotting.py:1621``)."""
+    from .ops.geometry import apply_reflect
     from .utils.misc import get_random_generator
 
     if rstate is None:
@@ -369,12 +393,17 @@ def _sample_bound(results, it=None, idx=None, prior_transform=None,
     if getattr(bound, "need_centers", False) and len(bound.ctrs) == 0:
         raise ValueError("This saved bound has no stored centers.")
     points = bound.samples(ndraws, rstate=rstate)
+    if periodic is not None:
+        points[:, periodic] = np.mod(points[:, periodic], 1.0)
+    if reflective is not None:
+        points[:, reflective] = apply_reflect(points[:, reflective])
     if prior_transform is not None:
         points = np.array([prior_transform(p) for p in points])
     return points
 
 
 def boundplot(results, dims, it=None, idx=None, prior_transform=None,
+              periodic=None, reflective=None,
               ndraws=5000, color="gray", plot_kwargs=None, labels=None,
               label_kwargs=None, max_n_ticks=5, use_math_text=False,
               show_live=False, live_color="darkviolet", live_kwargs=None,
@@ -386,7 +415,8 @@ def boundplot(results, dims, it=None, idx=None, prior_transform=None,
     plot_kwargs.setdefault("s", 1)
     points = _sample_bound(results, it=it, idx=idx,
                            prior_transform=prior_transform, ndraws=ndraws,
-                           rstate=rstate)
+                           rstate=rstate, periodic=periodic,
+                           reflective=reflective)
     dim1, dim2 = dims
     if fig is None:
         fig, ax = pl.subplots(figsize=(6, 6))
@@ -407,7 +437,8 @@ def boundplot(results, dims, it=None, idx=None, prior_transform=None,
 
 
 def cornerbound(results, it=None, idx=None, dims=None,
-                prior_transform=None, ndraws=5000, color="gray",
+                prior_transform=None, periodic=None, reflective=None,
+                ndraws=5000, color="gray",
                 plot_kwargs=None, labels=None, label_kwargs=None,
                 max_n_ticks=5, use_math_text=False, show_live=False,
                 live_color="darkviolet", live_kwargs=None, span=None,
@@ -419,7 +450,8 @@ def cornerbound(results, it=None, idx=None, dims=None,
     plot_kwargs.setdefault("s", 1)
     points = _sample_bound(results, it=it, idx=idx,
                            prior_transform=prior_transform, ndraws=ndraws,
-                           rstate=rstate)
+                           rstate=rstate, periodic=periodic,
+                           reflective=reflective)
     if dims is not None:
         points = points[:, list(dims)]
     ndim = points.shape[1]

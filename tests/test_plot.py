@@ -105,3 +105,17 @@ def test_hist2d(static_results):
     dyplot._hist2d(samples[:, 0], samples[:, 1], ax=ax,
                    weights=static_results.importance_weights())
     plt.close(fig)
+
+
+def test_runplot_kde(static_results):
+    # KDE-smoothed weight panel (reference plotting.py:255-259)
+    fig, axes = dyplot.runplot(static_results, kde=True, nkde=200)
+    plt.close(fig)
+
+
+def test_boundplot_periodic_reflective(static_results):
+    # wrapped draws for periodic / reflective dimensions
+    fig, ax = dyplot.boundplot(static_results, dims=(0, 1), it=100,
+                               ndraws=100, periodic=[0], reflective=[1],
+                               rstate=get_rstate())
+    plt.close(fig)
