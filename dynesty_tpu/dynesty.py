@@ -251,11 +251,37 @@ class NestedSampler(Sampler):
             self.mapper = pool.map
 
 
-def DynamicNestedSampler(*args, **kwargs):
-    """Dynamic nested sampler factory (defined in
-    :mod:`dynesty_tpu.dynamicsampler`; imported lazily to avoid a cycle)."""
+def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
+                         bound="multi", sample="auto", periodic=None,
+                         reflective=None, update_interval=None,
+                         first_update=None, rstate=None, queue_size=None,
+                         pool=None, use_pool=None, logl_args=None,
+                         logl_kwargs=None, ptform_args=None,
+                         ptform_kwargs=None, enlarge=None, bootstrap=None,
+                         walks=None, facc=0.5, slices=None, ncdim=None,
+                         blob=False, likelihood_mode="jax",
+                         rounds_per_dispatch=8, proposal_mode="batch",
+                         save_evaluation_history=False,
+                         history_filename=None):
+    """Dynamic nested sampler factory with the reference's full kwarg
+    surface (``dynesty.py:691-774``; the implementation lives in
+    :mod:`dynesty_tpu.dynamicsampler`, imported lazily to avoid a
+    cycle)."""
     from .dynamicsampler import DynamicSampler
-    return DynamicSampler.create(*args, **kwargs)
+    return DynamicSampler.create(
+        loglikelihood, prior_transform, ndim, nlive=nlive, bound=bound,
+        sample=sample, periodic=periodic, reflective=reflective,
+        update_interval=update_interval, first_update=first_update,
+        rstate=rstate, queue_size=queue_size, pool=pool,
+        use_pool=use_pool, logl_args=logl_args, logl_kwargs=logl_kwargs,
+        ptform_args=ptform_args, ptform_kwargs=ptform_kwargs,
+        enlarge=enlarge, bootstrap=bootstrap, walks=walks, facc=facc,
+        slices=slices, ncdim=ncdim, blob=blob,
+        likelihood_mode=likelihood_mode,
+        rounds_per_dispatch=rounds_per_dispatch,
+        proposal_mode=proposal_mode,
+        save_evaluation_history=save_evaluation_history,
+        history_filename=history_filename)
 
 
 def _dynamic_restore(fname, pool=None):

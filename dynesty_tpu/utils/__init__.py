@@ -29,6 +29,17 @@ from .checkpoint import save_sampler, restore_sampler
 from ..ops.integrals import (compute_integrals, progress_integration,
                              get_neff_from_logwt, LOWL_VAL)
 from ..ops.geometry import unitcheck, apply_reflect, randsphere
+from ..internal.likelihood import LogLikelihood, LoglOutput
+
+
+def get_nonbounded(ndim, periodic, reflective):
+    """Boolean mask, True for ordinary dimensions and False for
+    periodic/reflective ones; None when neither is given (reference
+    ``utils.py:950-976``)."""
+    from ..dynesty import _get_nonbounded
+    if periodic is None and reflective is None:
+        return None
+    return _get_nonbounded(ndim, periodic, reflective)
 
 __all__ = [
     "Results",
@@ -60,4 +71,7 @@ __all__ = [
     "unitcheck",
     "apply_reflect",
     "randsphere",
+    "LogLikelihood",
+    "LoglOutput",
+    "get_nonbounded",
 ]
