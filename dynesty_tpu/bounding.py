@@ -164,31 +164,43 @@ class Ellipsoid(Bound):
 
     def scale_to_logvol(self, logvol):
         """Inflate/deflate to a target volume, capping each axis at the
-        cube half-diagonal when inflating anisotropically is required."""
+        cube half-diagonal when inflating anisotropically is required.
+
+        The anisotropic case is a capped water-filling problem: every
+        axis receives log-inflation ``min(cap_i, theta)`` where ``cap_i``
+        is its log-headroom to the half-diagonal and the common level
+        ``theta`` is the closed-form water level that makes the total
+        equal the requested volume change (axes already at or above the
+        half-diagonal receive nothing).
+        """
         logf = logvol - self.logvol
         max_log_axlen = np.log(np.sqrt(self.ndim) / 2.0)
         log_axlen = np.log(self.axlens)
         if log_axlen.max() < max_log_axlen - logf / self.ndim:
+            # the even split logf/ndim stays below every cap: isotropic
             f = np.exp(logf / self.ndim)
             self.cov *= f ** 2
             self.am /= f ** 2
             self.axlens *= f
             self.axes *= f
         else:
-            # distribute the inflation over axes largest-first, capping at
-            # the cube diagonal
-            vals, vecs = np.linalg.eigh(self.cov)
-            logfax = np.zeros(self.ndim)
-            remaining = logf
-            nleft = self.ndim
-            for i in np.argsort(vals)[::-1]:
-                delta = max(
-                    min(max_log_axlen - log_axlen[i], remaining / nleft), 0.0)
-                logfax[i] = delta
-                remaining -= delta
-                nleft -= 1
-            fax = np.exp(logfax)
-            scaled = vals * fax ** 2
+            cap = np.maximum(max_log_axlen - log_axlen, 0.0)
+            target = min(max(logf, 0.0), cap.sum())
+            c = np.sort(cap)
+            n = self.ndim
+            csum = np.concatenate([[0.0], np.cumsum(c)])
+            # total inflation if the level sits at breakpoint c[j]:
+            # caps below j saturate, the rest all get c[j]
+            totals = csum[:-1] + (n - np.arange(n)) * c
+            j = int(np.searchsorted(totals, target))
+            if j >= n:
+                theta = c[-1]
+            else:
+                theta = (target - csum[j]) / (n - j)
+            fax = np.exp(np.minimum(cap, theta))
+            # principal frame is already in hand (axes = vecs * axlens)
+            vecs = self.axes / self.axlens[None, :]
+            scaled = (self.axlens * fax) ** 2
             self.cov = (vecs * scaled) @ vecs.T
             self.am = (vecs * (1.0 / scaled)) @ vecs.T
             self.axlens *= fax

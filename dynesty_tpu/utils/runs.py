@@ -49,26 +49,19 @@ def _get_nsamps_samples_n(res):
 
 def _find_decrease(samples_n):
     """Mask of constant-or-increasing iterations plus, for each maximal
-    strictly-decreasing segment, the starting nlive and its index range."""
+    strictly-decreasing segment, the starting nlive and its index range.
+
+    Vectorized run detection: the 0->1 / 1->0 flanks of the decreasing
+    indicator delimit each maximal run; a segment includes the element
+    just before its first drop."""
     nsamps = len(samples_n)
     decreasing = np.zeros(nsamps, dtype=bool)
     decreasing[1:] = np.diff(samples_n) < 0
-    nlive_start, bounds = [], []
-    ids = np.nonzero(decreasing)[0]
-    if len(ids) > 0:
-        left = ids[0] - 1
-        last = ids[0]
-        nlive_start.append(samples_n[left])
-        for cur in ids[1:]:
-            if cur == last + 1:
-                last += 1
-                continue
-            bounds.append([left, last + 1])
-            nlive_start.append(samples_n[cur - 1])
-            last = cur
-            left = cur - 1
-        bounds.append((left, last + 1))
-        nlive_start = np.array(nlive_start)
+    d = decreasing.astype(np.int8)
+    first = np.nonzero(np.diff(np.concatenate(([0], d))) == 1)[0]
+    last = np.nonzero(np.diff(np.concatenate((d, [0]))) == -1)[0]
+    bounds = [(f - 1, l + 1) for f, l in zip(first, last)]
+    nlive_start = samples_n[first - 1] if len(first) else []
     return ~decreasing, nlive_start, bounds
 
 
