@@ -257,3 +257,53 @@ def test_posterior_moments():
     assert np.all(np.abs(mean) < 4 * mean_tol + 0.02), (mean, mean_tol)
     assert np.all(np.abs(cov - cov_truth) < 4 * cov_tol + 0.05), \
         (cov, cov_tol)
+
+
+def test_queue_mode():
+    """proposal_mode='queue' keeps the reference's speculative-pool
+    semantics: constant live count (no sawtooth) and the same analytic
+    truth gate."""
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=150,
+                                  bound="single", sample="unif",
+                                  rstate=rstate, queue_size=32,
+                                  proposal_mode="queue")
+    sampler.run_nested(print_progress=False)
+    res = sampler.results
+    assert abs(res.logz[-1] - LOGZ_TRUTH) < 4 * res.logzerr[-1]
+    # constant-nlive profile (apart from the final recycling ramp)
+    sn = np.asarray(res.samples_n)
+    assert np.all(sn[:res.niter] == 150)
+
+
+def test_queue_mode_determinism():
+    loglike, ptform = _make_gau()
+    runs = []
+    for _ in range(2):
+        rstate = get_rstate()
+        s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                                bound="single", sample="rwalk",
+                                rstate=rstate, queue_size=32,
+                                proposal_mode="queue")
+        s.run_nested(print_progress=False, maxiter=300, add_live=False)
+        runs.append(s.results)
+    assert np.array_equal(runs[0].logl, runs[1].logl)
+    assert np.array_equal(runs[0].logz, runs[1].logz)
+
+
+def test_slice_doubling():
+    """Neal (2003) doubling expansion, forced on via a custom sampler
+    instance (reference ``tests/test_misc.py:710-726`` activation
+    pattern)."""
+    from dynesty_tpu.internal.samplers import RSliceSampler
+
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    kernel = RSliceSampler(ndim=NDIM, slices=5, slice_doubling=True)
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=150,
+                                  bound="single", sample=kernel,
+                                  rstate=rstate, queue_size=32)
+    sampler.run_nested(print_progress=False)
+    res = sampler.results
+    assert abs(res.logz[-1] - LOGZ_TRUTH) < 4 * res.logzerr[-1]
