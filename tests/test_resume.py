@@ -35,14 +35,15 @@ def _gau():
     return gau_loglike, gau_ptform
 
 
-def _run_static(maxiter_first=None, fname=None):
+def _run_static(maxiter_first=None, fname=None, proposal_mode="batch"):
     """Run a static fit, optionally stopping after ``maxiter_first``
     iterations, saving, restoring, and continuing."""
     loglike, ptform = _gau()
     rstate = get_rstate()
     sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=120,
                                   bound="single", sample="unif",
-                                  rstate=rstate, queue_size=32)
+                                  rstate=rstate, queue_size=32,
+                                  proposal_mode=proposal_mode)
     if maxiter_first is None:
         sampler.run_nested(print_progress=False)
         return sampler.results
@@ -57,11 +58,16 @@ def _run_static(maxiter_first=None, fname=None):
     return sampler2.results
 
 
-def test_static_save_restore_resume():
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.parametrize("proposal_mode", ["batch", "queue"])
+def test_static_save_restore_resume(proposal_mode):
     with tempfile.TemporaryDirectory() as tmp:
         fname = os.path.join(tmp, "save.pkl")
-        res_interrupted = _run_static(maxiter_first=300, fname=fname)
-    res_full = _run_static()
+        res_interrupted = _run_static(maxiter_first=300, fname=fname,
+                                      proposal_mode=proposal_mode)
+    res_full = _run_static(proposal_mode=proposal_mode)
     # the resumed run must continue identically: bit-identical outputs
     assert res_interrupted.niter == res_full.niter
     assert np.array_equal(res_interrupted.logz, res_full.logz)
