@@ -248,3 +248,29 @@ def test_host_mode_rwalk():
                                   queue_size=16)
     sampler.run_nested(print_progress=False, maxiter=300)
     assert np.isfinite(sampler.results.logz[-1])
+
+
+def test_vectorized_likelihood_mode():
+    """likelihood_mode='vectorized': the user callables already take
+    (N, ndim) batches."""
+    cov = np.identity(3)
+    cov[cov == 0] = 0.95
+    cinv = np.linalg.inv(cov)
+    lnorm = -0.5 * (np.log(2 * np.pi) * 3 + np.log(np.linalg.det(cov)))
+
+    def loglike(x):  # (N, ndim) -> (N,)
+        return -0.5 * jnp.einsum("ni,ij,nj->n", x, jnp.asarray(cinv),
+                                 x) + lnorm
+
+    def ptform(u):  # (N, ndim) -> (N, ndim)
+        return 10.0 * (2.0 * u - 1.0)
+
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, 3, nlive=150,
+                                  bound="single", sample="unif",
+                                  likelihood_mode="vectorized",
+                                  rstate=rstate, queue_size=64)
+    sampler.run_nested(print_progress=False)
+    res = sampler.results
+    truth = 3 * (-np.log(20.0))
+    assert abs(res.logz[-1] - truth) < 4 * res.logzerr[-1]
