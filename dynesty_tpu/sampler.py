@@ -1092,11 +1092,12 @@ class Sampler:
             logvol = self.logvol_init
             loglstar = LOWL_VAL
 
-        lsort_idx_pre = np.argsort(self.live_logl)
-        logl_sorted = self.live_logl[lsort_idx_pre]
-        births = np.asarray(getattr(self, "live_birth", None)
-                            if getattr(self, "live_birth", None) is not None
-                            else np.full(self.nlive, -np.inf), float)
+        lsort_idx = np.argsort(self.live_logl)
+        logl_sorted = self.live_logl[lsort_idx]
+        births = getattr(self, "live_birth", None)
+        births = np.asarray(
+            births if births is not None
+            else np.full(self.nlive, -np.inf), float)
         # thread-aware live counts for the recycling ramp: a point born at
         # (or above) the current death level is not active there — its
         # thread covers only (birth, death] — so it must not be counted.
@@ -1127,7 +1128,6 @@ class Sampler:
         dlvs = -np.diff(logvols, prepend=0)
         logvols += logvol
 
-        lsort_idx = np.argsort(self.live_logl)
         loglmax = max(self.live_logl)
         bounditer = self.nbound - 1 if not self.unit_cube_sampling else 0
 
