@@ -85,3 +85,28 @@ def test_use_pool_accepted_without_pool():
                                queue_size=16)
     samp.run_nested(print_progress=False, maxiter=100, add_live=False)
     assert samp.it > 1
+
+
+def test_n_mc_stopping_over_pool():
+    """The dynamic driver's n_mc KL stopping realizations map over the
+    pool when use_pool['stop_function'] (reference
+    ``dynamicsampler.py:738-743``)."""
+    import jax.numpy as jnp
+
+    def jax_loglike(x):
+        return -0.5 * jnp.dot(x, x) + LNORM
+
+    rstate = get_rstate()
+    with Pool(2, loglike_plain, ptform) as pool:
+        dns = dytpu.DynamicNestedSampler(jax_loglike, ptform, NDIM,
+                                         bound="single", sample="unif",
+                                         rstate=rstate, pool=pool,
+                                         queue_size=32)
+        dns.run_nested(nlive_init=80, nlive_batch=40, maxbatch=2,
+                       print_progress=False, use_stop=True,
+                       n_effective=2000,
+                       stop_kwargs={"n_mc": 10, "error": "jitter"})
+    res = dns.results
+    assert np.isfinite(res.logz[-1])
+    # the pooled stop check ran at least once and allowed batches
+    assert dns.batch >= 1
