@@ -246,3 +246,25 @@ def test_exception_context(capsys):
     err = capsys.readouterr().err
     assert "Exception while calling loglikelihood function" in err
     assert "params:" in err
+
+
+def test_round_chaining_policy():
+    """Dispatch-chaining policy: uniform kernels never chain (their
+    rejection efficiency tracks bound freshness), MCMC kernels follow
+    rounds_per_dispatch, and the factories default to 8 chained rounds."""
+    import inspect
+
+    from dynesty_tpu.internal.samplers import (RSliceSampler, RWalkSampler,
+                                               SliceSampler,
+                                               UniformBoundSampler,
+                                               UnitCubeSampler)
+
+    assert UniformBoundSampler.max_rounds_per_dispatch == 1
+    assert UnitCubeSampler.max_rounds_per_dispatch == 1
+    assert RWalkSampler.max_rounds_per_dispatch is None
+    assert SliceSampler.max_rounds_per_dispatch is None
+    assert RSliceSampler.max_rounds_per_dispatch is None
+    sig = inspect.signature(dytpu.NestedSampler.__init__)
+    assert sig.parameters["rounds_per_dispatch"].default == 8
+    sig = inspect.signature(dytpu.DynamicNestedSampler)
+    assert sig.parameters["rounds_per_dispatch"].default == 8
