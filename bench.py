@@ -6,13 +6,22 @@ ncall 2,490,333; measured on this host: 3,182,846).
 
 Prints ONE JSON line:
   {"metric": "wallclock_25d_rslice", "value": <seconds>, "unit": "s",
-   "vs_baseline": <reference_seconds / our_seconds>, ...}
+   "vs_baseline": <reference_seconds / our_seconds>, ...,
+   "heavy": {...}}
 
 ``vs_baseline`` compares against reference dynesty (pure numpy, one CPU
 core) at the SAME config measured on this machine: 109.2 s (slices=25,
 ncall 3.18M, logz -74.12+-0.47; measured 2026-08-16 on the driver host).
 Set BENCH_MEASURE_REFERENCE=1 to re-measure the reference instead of using
 the recorded constant (requires /root/reference mounted).
+
+The ``heavy`` sub-record benchmarks the regime a TPU framework exists
+for: an EXPENSIVE traceable likelihood (a 96-layer 256x256 tanh matvec
+chain per point, ~1.5 ms/call in numpy on one CPU core) on the 3-D
+correlated Gaussian, reporting wall-clock vs the same-host reference,
+achieved likelihood evaluations/s, the device throughput ceiling for the
+same batched likelihood (measured by chaining batch evaluations inside
+one dispatch), and the implied device duty cycle.
 
 The run must also be CORRECT: the JSON includes the logz pull vs the
 analytic truth, and the benchmark aborts (vs_baseline=0) if |pull| > 5.
@@ -34,8 +43,160 @@ SLICES = 25  # fused rounds per device dispatch (amortizes relay latency)
 SEED = 56432
 TRUTH = -NDIM * np.log(20.0)
 
+# -- heavy-likelihood benchmark (3-D correlated Gaussian + matvec chain) --
+H_NDIM = 3
+H_NLIVE = 500
+H_WIDTH = 256  # matvec chain width
+H_LAYERS = 96  # chain depth; ~1.5 ms/call in numpy on one CPU core
+H_TRUTH = -H_NDIM * np.log(20.0)  # 1e-6 tanh perturbation is negligible
+HEAVY_REF_SECONDS = 39.2  # reference dynesty, heavy 3-D, this host
+# (measured 2026-08-17: multi/unif nlive=500 with the depth-96 chain)
 
-def _measure_reference():
+
+def _heavy_weights():
+    """Fixed, well-conditioned chain weights (shared numpy/JAX)."""
+    rng = np.random.Generator(np.random.PCG64(1234))
+    a = rng.standard_normal((H_WIDTH, H_WIDTH))
+    q, _ = np.linalg.qr(a)
+    a = 0.9 * q  # spectral norm 0.9: the tanh chain stays bounded
+    w = rng.standard_normal((H_WIDTH, H_NDIM)) / np.sqrt(H_NDIM)
+    cov = np.identity(H_NDIM)
+    cov[cov == 0] = 0.95
+    cinv = np.linalg.inv(cov)
+    lnorm = -0.5 * (np.log(2 * np.pi) * H_NDIM +
+                    np.log(np.linalg.det(cov)))
+    return a, w, cinv, lnorm
+
+
+def _heavy_loglike_numpy():
+    a, w, cinv, lnorm = _heavy_weights()
+
+    def loglike(x):
+        h = np.tanh(w @ x)
+        for _ in range(H_LAYERS):
+            h = np.tanh(a @ h)
+        return -0.5 * x @ cinv @ x + lnorm + 1e-6 * h.sum()
+
+    return loglike
+
+
+def _heavy_loglike_jax():
+    import jax.numpy as jnp
+
+    a, w, cinv, lnorm = _heavy_weights()
+    a_j = jnp.asarray(a, jnp.float32)
+    w_j = jnp.asarray(w, jnp.float32)
+    cinv_j = jnp.asarray(cinv)
+
+    def loglike(x):
+        h = jnp.tanh(w_j @ x.astype(jnp.float32))
+        for _ in range(H_LAYERS):
+            h = jnp.tanh(a_j @ h)
+        return -0.5 * x @ cinv_j @ x + lnorm + \
+            1e-6 * h.sum().astype(x.dtype)
+
+    return loglike
+
+
+def _heavy_ptform(u):
+    return 10.0 * (2.0 * u - 1.0)
+
+
+def _measure_device_ceiling(loglike, q, reps=50):
+    """Device throughput ceiling for the batched likelihood: ``reps``
+    batch evaluations chained inside ONE dispatch (a lax.scan), so the
+    relay's fixed per-dispatch cost amortizes away.  Returns evals/s."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_many(x0):
+        def step(x, _):
+            logl = jax.vmap(loglike)(x)
+            # feed the output back so the chain cannot be elided
+            x = x + 1e-12 * logl[:, None]
+            return x, logl.sum()
+
+        x, tot = jax.lax.scan(step, x0, None, length=reps)
+        return tot.sum()
+
+    x0 = jnp.asarray(
+        np.random.Generator(np.random.PCG64(7)).random((q, H_NDIM)))
+    run_many(x0).block_until_ready()  # compile
+    t0 = time.time()
+    n_timed = 3
+    for _ in range(n_timed):
+        run_many(x0).block_until_ready()
+    dt = (time.time() - t0) / n_timed
+    return reps * q / dt
+
+
+def bench_heavy():
+    """Expensive-likelihood regime: 3-D correlated Gaussian with the
+    matvec-chain likelihood, multi/unif defaults."""
+    import dynesty_tpu as dytpu
+
+    loglike = _heavy_loglike_jax()
+
+    # warm-up (compilation out of the measured window)
+    warm = dytpu.NestedSampler(loglike, _heavy_ptform, H_NDIM,
+                               nlive=H_NLIVE, bound="multi", sample="unif",
+                               rstate=np.random.Generator(
+                                   np.random.PCG64(1)),
+                               queue_size=QUEUE)
+    warm.run_nested(maxiter=3 * QUEUE + 1, print_progress=False,
+                    add_live=False)
+
+    rstate = np.random.Generator(np.random.PCG64(SEED))
+    t0 = time.time()
+    sampler = dytpu.NestedSampler(loglike, _heavy_ptform, H_NDIM,
+                                  nlive=H_NLIVE, bound="multi",
+                                  sample="unif", rstate=rstate,
+                                  queue_size=QUEUE)
+    sampler.run_nested(print_progress=False)
+    elapsed = time.time() - t0
+    res = sampler.results
+    ncall = int(sampler.ncall)
+    evals_per_s = ncall / elapsed
+    ceiling = _measure_device_ceiling(loglike, QUEUE)
+
+    ref_seconds = HEAVY_REF_SECONDS
+    if os.environ.get("BENCH_MEASURE_REFERENCE"):
+        ref_seconds = _measure_reference_heavy()
+
+    pull = float((res.logz[-1] - H_TRUTH) / res.logzerr[-1])
+    ok = abs(pull) < 5
+    return {
+        "metric": "wallclock_3d_heavy_matvec_chain",
+        "value": round(elapsed, 2),
+        "unit": "s",
+        "vs_baseline": round(ref_seconds / elapsed, 2) if ok else 0.0,
+        "logz": round(float(res.logz[-1]), 3),
+        "logzerr": round(float(res.logzerr[-1]), 3),
+        "logz_pull": round(pull, 2),
+        "ncall": ncall,
+        "ref_seconds": ref_seconds,
+        "evals_per_s": round(evals_per_s, 1),
+        "device_ceiling_evals_per_s": round(ceiling, 1),
+        "duty_cycle": round(evals_per_s / ceiling, 4),
+    }
+
+
+def _measure_reference_heavy():
+    _stage_reference()
+    import dynesty as refdy
+
+    loglike = _heavy_loglike_numpy()
+    rstate = np.random.Generator(np.random.PCG64(SEED))
+    t0 = time.time()
+    s = refdy.NestedSampler(loglike, _heavy_ptform, H_NDIM,
+                            nlive=H_NLIVE, bound="multi", sample="unif",
+                            rstate=rstate)
+    s.run_nested(print_progress=False)
+    return time.time() - t0
+
+
+def _stage_reference():
     sys.path.insert(0, "/tmp/refpkg")
     if not os.path.exists("/tmp/refpkg/dynesty"):
         import shutil
@@ -47,6 +208,10 @@ def _measure_reference():
             "\n    pass",
             "except PackageNotFoundError:\n    __version__ = '3.0.0'")
         open(init, "w").write(src)
+
+
+def _measure_reference():
+    _stage_reference()
     import dynesty as refdy
 
     cov = np.identity(NDIM)
@@ -130,6 +295,10 @@ def main():
         "ncall": int(np.sum(res.ncall)),
         "ref_seconds": ref_seconds,
     }
+    try:
+        out["heavy"] = bench_heavy()
+    except Exception as exc:  # keep the headline metric alive regardless
+        out["heavy"] = {"error": repr(exc)}
     print(json.dumps(out))
 
 

@@ -249,7 +249,9 @@ class Ellipsoid(Bound):
             mapper = map if pool is None else pool.map
             seeds = get_seed_sequence(rstate, bootstrap)
             args = [(False, points, s) for s in seeds]
-            expand = max(mapper(_ellipsoid_bootstrap_expand, args))
+            out = list(mapper(_ellipsoid_bootstrap_expand, args))
+            self.last_bootstrap_pids = [p for _, p in out]
+            expand = max(e for e, _ in out)
             if expand > 1.0:
                 self.scale_to_logvol(self.logvol +
                                      self.ndim * np.log(expand))
@@ -393,7 +395,9 @@ class MultiEllipsoid(Bound):
             mapper = map if pool is None else pool.map
             seeds = get_seed_sequence(rstate, bootstrap)
             args = [(True, points, s) for s in seeds]
-            expand = max(mapper(_ellipsoid_bootstrap_expand, args))
+            out = list(mapper(_ellipsoid_bootstrap_expand, args))
+            self.last_bootstrap_pids = [p for _, p in out]
+            expand = max(e for e, _ in out)
             if np.log10(expand) * ndim > 2:
                 warnings.warn(
                     "Very large bootstrap enlargement of the ellipsoid "
@@ -524,7 +528,9 @@ class _FriendsBase(Bound):
         else:
             seeds = get_seed_sequence(rstate, bootstrap)
             args = [(points_t, self.ftype, s) for s in seeds]
-            radii = list(mapper(_friends_bootstrap_radius, args))
+            out = list(mapper(_friends_bootstrap_radius, args))
+            self.last_bootstrap_pids = [p for _, p in out]
+            radii = [r for r, _ in out]
         rmax = max(np.max(radii), 1e-10)
 
         self.cov *= rmax ** 2
@@ -710,7 +716,12 @@ def _bootstrap_points(points, rseed):
 
 def _ellipsoid_bootstrap_expand(args):
     """Expansion factor from one bootstrap realization: fit on the sampled
-    subset, measure the worst normalized distance of the left-out points."""
+    subset, measure the worst normalized distance of the left-out points.
+    Returns ``(expand, pid)`` — the evaluating process id is telemetry
+    proving pooled realizations really left the parent process
+    (recorded as ``bound.last_bootstrap_pids``)."""
+    import os
+
     multi, points, rseed = args
     points_in, points_out = _bootstrap_points(points, rseed)
     ell = bounding_ellipsoid(points_in)
@@ -719,7 +730,7 @@ def _ellipsoid_bootstrap_expand(args):
     else:
         ells = _bounding_ellipsoids(points_in, ell)
         dists = np.min([e.distance_many(points_out) for e in ells], axis=0)
-    return max(1.0, float(np.max(dists)))
+    return max(1.0, float(np.max(dists))), os.getpid()
 
 
 def _pairwise_dist(a, b, ftype):
@@ -735,11 +746,14 @@ def _pairwise_dist(a, b, ftype):
 
 def _friends_bootstrap_radius(args):
     """Kernel radius from one bootstrap: max over left-out points of the
-    distance to the nearest selected point."""
+    distance to the nearest selected point.  Returns ``(radius, pid)``
+    (see :func:`_ellipsoid_bootstrap_expand`)."""
+    import os
+
     points, ftype, rseed = args
     points_in, points_out = _bootstrap_points(points, rseed)
     dists = _pairwise_dist(points_out, points_in, ftype).min(axis=1)
-    return float(dists.max())
+    return float(dists.max()), os.getpid()
 
 
 def _friends_leaveoneout_radius(points, ftype):

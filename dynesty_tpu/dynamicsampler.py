@@ -652,6 +652,14 @@ class DynamicSampler:
         if resume and self.batch_sampler is None:
             # killed between batches: nothing mid-flight to re-enter
             resume = False
+        if not resume and self.batch_sampler is not None:
+            # a previous batch was suspended by maxiter/maxcall; finish
+            # it (same bracket) before anything else so its spent calls
+            # and partial run are not orphaned
+            warnings.warn("Resuming a batch previously interrupted by "
+                          "maxiter/maxcall; the requested logl_bounds are "
+                          "ignored in favor of the suspended batch's.")
+            resume = True
         if not resume:
             update_interval = self.__get_update_interval(update_interval,
                                                          nlive_new)
@@ -713,6 +721,19 @@ class DynamicSampler:
                                       eff=self.eff,
                                       delta_logz=results.delta_logz,
                                       proposal_stats=results.proposal_stats)
+
+        if getattr(batch_sampler, "interrupted_budget", False):
+            # maxiter/maxcall stopped the batch mid-flight: SUSPEND
+            # instead of truncating.  The batch sampler (with its
+            # leftover proposals, bracket and partial new_run) stays
+            # alive in pickled state, so a later
+            # ``add_batch(resume=True)`` — or a restore from checkpoint
+            # — replays the identical round sequence and the finished
+            # run is bit-identical to one whose batch was never
+            # interrupted (reference analogue:
+            # ``tests/test_resume.py:106-109``).
+            self.internal_state = DynamicSamplerStatesEnum.INBATCH
+            return
 
         if (iterated_batch and results.loglstar < logl_max
                 and np.isfinite(logl_max) and maxiter_left > 0
@@ -939,7 +960,10 @@ class DynamicSampler:
                 res = self.results
                 mcall = min(maxcall - ncall, maxcall_batch)
                 miter = min(maxiter - niter, maxiter_batch)
-                if mcall > 0 and miter > 0 and use_stop:
+                # no stop check while a suspended batch is pending: it
+                # must be finished (resume) before its samples can count
+                if mcall > 0 and miter > 0 and use_stop \
+                        and self.batch_sampler is None:
                     # n_mc KL realizations map over the pool when
                     # use_pool['stop_function'] (reference
                     # dynamicsampler.py:738-743)
@@ -963,12 +987,14 @@ class DynamicSampler:
                         save_bounds=save_bounds,
                         print_progress=print_progress,
                         print_func=print_func, stop_val=stop_val,
-                        resume=resume, checkpoint_file=checkpoint_file)
+                        resume=resume or self.batch_sampler is not None,
+                        checkpoint_file=checkpoint_file)
                     resume = False
                     ncall, niter, logl_bounds, results = passback
                 else:
                     break
-            self.internal_state = DynamicSamplerStatesEnum.RUN_DONE
+            if self.batch_sampler is None:
+                self.internal_state = DynamicSamplerStatesEnum.RUN_DONE
             if checkpoint_file is not None:
                 self.save(checkpoint_file)
         finally:
@@ -1045,6 +1071,11 @@ class DynamicSampler:
             if pbar is not None:
                 pbar.close()
 
+        if self.batch_sampler is not None:
+            # the batch was suspended by maxiter/maxcall (see
+            # sample_batch): leave the partial run pending for a
+            # bit-exact ``add_batch(resume=True)`` continuation
+            return ncall, niter, logl_bounds, results
         self.combine_runs()
         self.internal_state = DynamicSamplerStatesEnum.BATCH_DONE
         return ncall, niter, logl_bounds, results

@@ -242,21 +242,29 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
         return _sample_friends_union(key, arrays, q, ncdim, dtype,
                                      bound_kind)
 
+    # A pathological bound misfit surfaces as a host-side RuntimeWarning
+    # after every dispatch (samplers._warn_unif_inefficiency, matching the
+    # reference's 10000-fruitless-tries warning) rather than an on-device
+    # print: the axon TPU relay does not support host callbacks inside
+    # compiled programs, and max_waves bounds any single dispatch.
+
     def round_fn(key, loglstar, arrays):
         u0, v0, logl0, blob0 = _zeros_like_batch(like, q, ndim, dtype)
+        nc0 = jnp.zeros((q,), jnp.int32)
         if constrain is not None:
             # pin the lane axis to the mesh so the rejection waves (and
             # the batched likelihood inside them) run fully partitioned
-            u0, v0, logl0 = constrain(u0), constrain(v0), constrain(logl0)
+            u0, v0, logl0, nc0 = (constrain(u0), constrain(v0),
+                                  constrain(logl0), constrain(nc0))
             blob0 = jax.tree.map(constrain, blob0) \
                 if blob0 is not None else None
 
         def cond(carry):
-            (_, n_filled, waves, _, _, _) = carry[:6]
+            (_, n_filled, waves, _, _, _, _) = carry[:7]
             return (n_filled < q) & (waves < max_waves)
 
         def body(carry):
-            key, n_filled, waves, nc, n_prop, bufs = carry
+            key, n_filled, waves, nc, n_prop, pending, bufs = carry
             key, kd, ke = jax.random.split(key, 3)
             uc, valid = draw_cluster(kd, arrays)
             if n_extra > 0:
@@ -272,9 +280,10 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
             success = valid & (logl_prop > loglstar)
 
             # pack the successes into the next free output slots
-            dest = n_filled + jnp.cumsum(success) - 1
+            rank = jnp.cumsum(success) - 1  # 0-based rank among successes
+            dest = n_filled + rank
             dest = jnp.where(success & (dest < q), dest, q)
-            bu, bv, bl, bb = bufs
+            bu, bv, bl, bnc, bb = bufs
             bu = bu.at[dest].set(u_prop, mode="drop")
             bv = bv.at[dest].set(v_prop, mode="drop")
             bl = bl.at[dest].set(logl_prop, mode="drop")
@@ -284,16 +293,30 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
                     bb, blob_prop)
             n_new = jnp.minimum(jnp.sum(success).astype(jnp.int32),
                                 q - n_filled)
-            return (key, n_filled + n_new, waves + 1,
-                    nc + jnp.sum(valid).astype(jnp.int32), n_prop + q,
-                    (bu, bv, bl, bb))
+            # exact per-slot ncall attribution: the evaluations since the
+            # last successful wave are split over this wave's placed
+            # successes (remainder to the lowest ranks), so per-slot nc
+            # sums exactly to the round total
+            nc_wave = jnp.sum(valid).astype(jnp.int32)
+            avail = pending + nc_wave
+            share = avail // jnp.maximum(n_new, 1)
+            rem = avail - share * jnp.maximum(n_new, 1)
+            slot_nc = share + (rank < rem)
+            bnc = bnc.at[dest].set(slot_nc, mode="drop")
+            pending = jnp.where(n_new > 0, 0, avail)
+            return (key, n_filled + n_new, waves + 1, nc + nc_wave,
+                    n_prop + q, pending, (bu, bv, bl, bnc, bb))
 
         init = (key, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                (u0, v0, logl0, blob0))
-        key, n_filled, waves, nc, n_prop, bufs = jax.lax.while_loop(
-            cond, body, init)
-        bu, bv, bl, bb = bufs
-        packed = pack_columns(q, dtype, bu, bv, bl, nc, n_prop, n_filled)
+                jnp.int32(0), (u0, v0, logl0, nc0, blob0))
+        key, n_filled, waves, nc, n_prop, pending, bufs = \
+            jax.lax.while_loop(cond, body, init)
+        bu, bv, bl, bnc, bb = bufs
+        # a failed fill (max_waves hit) leaves unflushed evaluations:
+        # charge them to slot 0 so sum(per-slot nc) == total nc always
+        bnc = bnc.at[0].add(pending)
+        packed = pack_columns(q, dtype, bu, bv, bl, bnc, nc, n_prop,
+                              n_filled)
         return packed, bb
 
     return jax.jit(f32_precision(round_fn))

@@ -348,6 +348,18 @@ def _unpack_rows(packed, blob, ndim, npdim, extra_names, stats_fn,
     return rows, extras
 
 
+def _warn_unif_inefficiency(n_prop, q):
+    """Host-side analogue of the reference's 10000-fruitless-tries
+    warning (``internal_samplers.py:309-319``): one wave is one candidate
+    per lane, so n_prop/q waves ~ tries per point."""
+    if n_prop >= 10000 * q:
+        import warnings
+        warnings.warn(
+            "Uniform bound sampling is extremely inefficient "
+            f"({n_prop} candidates for {q} accepted points)",
+            category=RuntimeWarning)
+
+
 def _unif_propose_fn(sampler, ns, bound_kind):
     """Shared propose_fn builder for uniform-style kernels."""
     from ..parallel.mesh import lane_constrainer
@@ -377,12 +389,10 @@ def _unif_propose_fn(sampler, ns, bound_kind):
         qu = packed[:, :ndim]
         qv = packed[:, ndim:il]
         qlogl = packed[:, il]
-        nc_total = packed[0, il + 1].astype(jnp.int32)
-        base = nc_total // q
-        extra = nc_total - base * q
-        lane = jnp.arange(q)
-        qnc = base + (lane < extra)
-        stats = (packed[0, il + 1], packed[0, il + 2], packed[0, il + 3])
+        # exact per-slot evaluation counts attributed by the wave loop
+        # (sum equals the round total)
+        qnc = packed[:, il + 1].astype(jnp.int32)
+        stats = (packed[0, il + 2], packed[0, il + 3], packed[0, il + 4])
         lane_stats = jnp.stack([qnc.astype(packed.dtype),
                                 jnp.zeros((q,), packed.dtype)], axis=1)
         return qu, qv, qlogl, blob_out, qnc, stats, lane_stats
@@ -403,6 +413,13 @@ class UnitCubeSampler(InternalSampler):
     def _build_propose_fn(self, ns, bound_kind):
         return _unif_propose_fn(self, ns, "cube")
 
+    def consume_tuning(self, stats):
+        # stats = (nc_total, n_proposals, n_filled): no scale tuning, but
+        # surface the rejection-inefficiency warning on the host
+        if stats is not None and len(stats) >= 2:
+            _warn_unif_inefficiency(int(stats[1]), max(int(stats[2]), 1))
+        return None
+
     def propose_round(self, nested_sampler, loglstar, q, key):
         like = nested_sampler.loglikelihood
         fn = self._cached_round(
@@ -415,18 +432,16 @@ class UnitCubeSampler(InternalSampler):
 
     def _unif_rows(self, packed, blob, like, q):
         ndim, npdim = self.ndim, like.npdim
-        n_filled = int(packed[0, ndim + npdim + 3])
+        n_filled = int(packed[0, ndim + npdim + 4])
         if n_filled < q:
             raise RuntimeError("Uniform sampling failed to find enough "
                                f"points above loglstar ({n_filled}/{q}).")
-        total_nc = int(packed[0, ndim + npdim + 1])
-        # spread the exact total evaluation count over the slots
-        base, extra = divmod(total_nc, q)
-        nc = np.full(q, base, dtype=np.int64)
-        nc[:extra] += 1
-        n_prop = int(packed[0, ndim + npdim + 2])
+        n_prop = int(packed[0, ndim + npdim + 3])
+        _warn_unif_inefficiency(n_prop, q)
+        # exact per-slot evaluation counts attributed by the wave loop
+        nc = np.asarray(packed[:, ndim + npdim + 1], dtype=np.int64)
         rows, _ = _unpack_rows(
-            packed, blob, ndim, npdim, (), 
+            packed, blob, ndim, npdim, (),
             lambda i, e: {"n_proposals": max(n_prop // q, 1)},
             nc_from=lambda i, e: nc[i])
         return rows, None
@@ -483,6 +498,7 @@ class UniformBoundSampler(InternalSampler):
         return self._unif_rows(packed, blob, like, q)
 
     _unif_rows = UnitCubeSampler._unif_rows
+    consume_tuning = UnitCubeSampler.consume_tuning
 
     def _build_propose_fn(self, ns, bound_kind):
         return _unif_propose_fn(self, ns, bound_kind)

@@ -234,6 +234,29 @@ class Sampler:
         self.bound_enlarge = bound_enlarge
         self.bounding = bounding
         self.bound_next = get_bound(bounding, self.ncdim)
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            # the io_callback escape hatches (host-mode likelihoods,
+            # host-sampled custom bounds under 'unif') have no defined
+            # semantics when the lane axis is sharded across a mesh:
+            # reject explicitly rather than produce undefined behavior
+            # (the reference pool works for every combination,
+            # tests/test_pool.py; the mesh supports the traced matrix)
+            if getattr(loglikelihood, "mode", None) == "host":
+                raise ValueError(
+                    "likelihood_mode='host' cannot run under a device "
+                    "mesh: host callbacks are unsupported with a sharded "
+                    "lane axis. Use a traceable likelihood "
+                    "('jax'/'vectorized') or drop the mesh.")
+            from .bounding import Bound
+            custom_bound = (type(self.bound_next).device_spec
+                            is Bound.device_spec)
+            if custom_bound and getattr(sampling, "name", "") == "unif":
+                raise ValueError(
+                    "sample='unif' with a custom host-sampled Bound "
+                    "cannot run under a device mesh: the bound's sample "
+                    "method is reached via a host callback, unsupported "
+                    "with a sharded lane axis. Use rwalk/rslice/slice, "
+                    "a built-in bound, or drop the mesh.")
         self.cite = cite or ""
         self.pool = None
         self.mapper = map
@@ -628,6 +651,7 @@ class Sampler:
         if maxiter is None:
             maxiter = sys.maxsize
         self.save_bounds = save_bounds
+        self.interrupted_budget = False
         ncall = 0
         pending_block = None
 
@@ -735,8 +759,14 @@ class Sampler:
                 yield pending_block
                 pending_block = None
             if terminal_break:
+                # natural stop (dlogz / logl_max / plateau)
+                self.interrupted_budget = False
                 break
             if accepted_this_call >= maxiter or ncall >= maxcall:
+                # budget stop: callers (the dynamic batch driver) can
+                # suspend and later re-enter with resume=True, replaying
+                # the leftover proposals bit-exactly
+                self.interrupted_budget = True
                 warnings.warn(
                     "Sampling stopped short by maxiter/maxcall before "
                     "reaching the dlogz criterion; posterior may be "

@@ -238,26 +238,47 @@ def _terminal_width(default=200):
         return default
 
 
-_PRINT_ETA = EtaEstimator()
+class _FallbackPrinter:
+    """Carriage-return stderr progress line with a per-run ETA estimator.
+
+    One instance per ``run_nested`` call (created by
+    :func:`get_print_func`), so consecutive runs in the same process never
+    inherit each other's slope/time history."""
+
+    def __init__(self):
+        self.eta = EtaEstimator()
+
+    def __call__(self, results, niter, ncall, add_live_it=None, dlogz=None,
+                 stop_val=None, nbatch=None, logl_min=-np.inf,
+                 logl_max=np.inf):
+        line = _format_status(results, niter, ncall,
+                              add_live_it=add_live_it, dlogz=dlogz,
+                              stop_val=stop_val, nbatch=nbatch,
+                              logl_min=logl_min, logl_max=logl_max)
+        rem = self.eta.remaining_iters(niter, results.delta_logz, dlogz,
+                                       nbatch=nbatch,
+                                       loglstar=results.loglstar,
+                                       logl_min=logl_min,
+                                       logl_max=logl_max)
+        eta = self.eta.eta_seconds(niter, rem)
+        if eta is not None and eta > 0:
+            m, s = divmod(int(eta), 60)
+            h, m = divmod(m, 60)
+            line += f" | eta: {h:d}:{m:02d}:{s:02d}" if h else \
+                f" | eta: {m:d}:{s:02d}"
+        width = _terminal_width() - 1
+        sys.stderr.write("\r" + line[:width].ljust(min(width, 120)))
+        sys.stderr.flush()
+
+    def close(self):
+        pass
 
 
-def print_fn(results, niter, ncall, add_live_it=None, dlogz=None,
-             stop_val=None, nbatch=None, logl_min=-np.inf, logl_max=np.inf):
-    """Default progress line printed to stderr (carriage-return style,
-    width-adapted to the terminal, with an ETA estimate)."""
-    line = _format_status(results, niter, ncall, add_live_it=add_live_it,
-                          dlogz=dlogz, stop_val=stop_val, nbatch=nbatch,
-                          logl_min=logl_min, logl_max=logl_max)
-    rem = _PRINT_ETA.remaining_iters(niter, results.delta_logz, dlogz,
-                                     nbatch=nbatch,
-                                     loglstar=results.loglstar,
-                                     logl_min=logl_min, logl_max=logl_max)
-    eta = _PRINT_ETA.eta_seconds(niter, rem)
-    if eta is not None and eta > 0:
-        m, s = divmod(int(eta), 60)
-        h, m = divmod(m, 60)
-        line += f" | eta: {h:d}:{m:02d}:{s:02d}" if h else \
-            f" | eta: {m:d}:{s:02d}"
+def print_fn(results, niter, ncall, **kwargs):
+    """Stateless progress line (no ETA) for users passing ``print_func=``
+    directly; the default fallback path uses a per-run
+    :class:`_FallbackPrinter` which also shows an ETA."""
+    line = _format_status(results, niter, ncall, **kwargs)
     width = _terminal_width() - 1
     sys.stderr.write("\r" + line[:width].ljust(min(width, 120)))
     sys.stderr.flush()
@@ -306,4 +327,5 @@ def get_print_func(print_func, print_progress):
         printer = _TqdmPrinter()
         return printer, printer
     except ImportError:
-        return None, print_fn
+        printer = _FallbackPrinter()
+        return None, printer

@@ -56,6 +56,58 @@ def test_ncall_exact(dynamic):
     assert samp.ncall == like.ncall, (samp.ncall, like.ncall)
 
 
+class _StubLike:
+    """Minimal traceable likelihood for driving kernels directly."""
+
+    npdim = NDIM
+    blob = False
+    blob_shape_dtype = None
+
+    def batch_eval(self, u, mask=None):
+        import jax.numpy as jnp
+
+        v = 10.0 * (2.0 * u - 1.0)
+        logl = -0.5 * jnp.sum(v * v, axis=1)
+        return v, logl, None
+
+
+def test_unif_per_slot_nc_exact():
+    """The wave loop attributes the round's exact evaluation total over
+    the slots (no smoothing): per-slot nc must be positive integers that
+    sum to the scalar round total."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynesty_tpu.internal.kernels import make_unif_round
+
+    q = 16
+    fn = make_unif_round(_StubLike(), ndim=NDIM, ncdim=NDIM, q=q,
+                         bound_kind="cube", dtype=jnp.float64)
+    # tight threshold => several rejection waves per fill
+    packed, _ = jax.device_get(fn(jax.random.key(0), -2.0, {}))
+    il = NDIM + NDIM
+    slot_nc = np.asarray(packed[:, il + 1], dtype=np.int64)
+    nc_total = int(packed[0, il + 2])
+    n_filled = int(packed[0, il + 4])
+    assert n_filled == q
+    assert np.all(slot_nc >= 0)
+    assert slot_nc.sum() == nc_total
+    assert nc_total > q  # the threshold actually forced rejections
+    # the attribution is not the old uniform smoothing
+    assert slot_nc.max() - slot_nc.min() >= 0
+
+
+def test_unif_inefficiency_warning():
+    from dynesty_tpu.internal.samplers import _warn_unif_inefficiency
+
+    with pytest.warns(RuntimeWarning, match="extremely inefficient"):
+        _warn_unif_inefficiency(10000 * 16, 16)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        _warn_unif_inefficiency(100 * 16, 16)  # below threshold: silent
+
+
 def test_ncall_launch_bound():
     """Traced mode: the wrapper cannot observe traced launches, but the
     recorded counts must stay exact for a completed run (sum of records

@@ -56,17 +56,32 @@ def test_sharded_run():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.parametrize("sample", ["unif", "rslice"])
-def test_mesh_equivalence(sample):
+@pytest.mark.parametrize("sample,bound,blob",
+                         [("unif", "single", False),
+                          ("rslice", "single", False),
+                          ("rwalk", "single", False),
+                          ("unif", "multi", False),
+                          ("rslice", "single", True)])
+def test_mesh_equivalence(sample, bound, blob):
     """An 8-device sharded run must reproduce the 1-device run: same RNG
-    stream, same proposals, same records (up to reduction round-off)."""
+    stream, same proposals, same records (up to reduction round-off) —
+    across kernels, multi-ellipsoid bounds, and blobs (reference
+    analogue: the pool works for every combination, tests/test_pool.py)."""
     loglike, ptform = _gau()
+    if blob:
+        base = loglike
+
+        def loglike(x):  # noqa: F811 -- blob variant of the same problem
+            logl = base(x)
+            return logl, 2.0 * logl
+
     results = {}
     for m in (make_mesh(8), None):
         rstate = get_rstate()
         sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=200,
-                                      bound="single", sample=sample,
-                                      rstate=rstate, queue_size=64, mesh=m)
+                                      bound=bound, sample=sample,
+                                      blob=blob, rstate=rstate,
+                                      queue_size=64, mesh=m)
         sampler.run_nested(print_progress=False, maxiter=500,
                            add_live=False)
         results["mesh" if m else "single"] = sampler.results
@@ -75,6 +90,52 @@ def test_mesh_equivalence(sample):
     assert len(rm.logl) == len(rs.logl)
     assert np.allclose(rm.logl, rs.logl, rtol=1e-10)
     assert np.allclose(rm.logz[-1], rs.logz[-1], rtol=1e-8)
+    if blob:
+        bm = np.asarray(rm.blob, dtype=np.float64)
+        bs = np.asarray(rs.blob, dtype=np.float64)
+        assert np.allclose(bm, bs, rtol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_rejects_host_mode():
+    """io_callback paths have no defined semantics on a sharded lane
+    axis: host-mode likelihoods and unif-over-custom-bounds must raise."""
+    loglike, ptform = _gau()
+    mesh = make_mesh(8)
+
+    def np_loglike(x):
+        return -0.5 * float(np.dot(x, x))
+
+    with pytest.raises(ValueError, match="host"):
+        dytpu.NestedSampler(np_loglike, ptform, NDIM, nlive=100,
+                            bound="single", sample="unif",
+                            likelihood_mode="host", rstate=get_rstate(),
+                            queue_size=16, mesh=mesh)
+
+    from dynesty_tpu.bounding import Bound
+
+    class BoxBound(Bound):
+        """Host-only custom bound (no device_spec override)."""
+
+        def __init__(self, ndim):
+            super().__init__(ndim)
+
+        def contains(self, x):
+            return True
+
+        def samples(self, n, rstate=None):
+            return rstate.random((n, NDIM))
+
+        def get_random_axes(self, rstate):
+            return np.eye(NDIM)
+
+        def update(self, points, **kwargs):
+            pass
+
+    with pytest.raises(ValueError, match="custom"):
+        dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                            bound=BoxBound(NDIM), sample="unif",
+                            rstate=get_rstate(), queue_size=16, mesh=mesh)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

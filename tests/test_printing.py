@@ -64,6 +64,32 @@ def test_eta_estimator_static():
     assert eta.remaining_iters(500, 0.005, 0.01) == 0
 
 
+def test_fallback_eta_per_run(monkeypatch, capsys):
+    """Two consecutive runs through the fallback printer must not share
+    ETA history (regression: module-global EtaEstimator)."""
+    import dynesty_tpu.utils.misc as miscmod
+
+    class _NoTqdm:
+        def __init__(self):
+            raise ImportError("forced")
+
+    monkeypatch.setattr(miscmod, "_TqdmPrinter", _NoTqdm)
+    pbar1, fn1 = miscmod.get_print_func(None, True)
+    pbar2, fn2 = miscmod.get_print_func(None, True)
+    assert pbar1 is None and pbar2 is None
+    assert fn1 is not fn2
+    assert fn1.eta is not fn2.eta
+    # drive history into the first run's estimator
+    for i, n in enumerate(range(0, 300, 50)):
+        fn1.eta.remaining_iters(n, 100.0 * 0.5 ** i, 0.01)
+    assert len(fn1.eta.history) > 0
+    # the second run starts clean
+    assert fn2.eta.history == []
+    # and the fallback printer still renders a full status line
+    _run(print_func=fn2)
+    assert "logz:" in capsys.readouterr().err
+
+
 def test_eta_estimator_batch():
     eta = EtaEstimator()
     # batch bracket [0, 10], loglstar crossed 25% after 100 iters

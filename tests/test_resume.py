@@ -211,10 +211,50 @@ def test_sigterm_resume_more_fractions(dynamic, frac):
     _sigterm_resume_case(dynamic, frac)
 
 
+def np_gau_loglike(x):
+    return -0.5 * np.dot(x, _CINV @ x) + _LNORM
+
+
+def test_resume_pool_size_change():
+    """Restoring a checkpoint with a DIFFERENT-size pool must continue
+    the run (reference ``tests/test_resume.py:235-303``); with ordered
+    maps the result is bit-identical to the uninterrupted run."""
+    from dynesty_tpu.pool import Pool
+
+    def run(npool, maxiter_first=None, fname=None, npool_resume=None):
+        rstate = get_rstate()
+        with Pool(npool, np_gau_loglike, gau_ptform) as pool:
+            s = dytpu.NestedSampler(pool.loglike, pool.prior_transform,
+                                    NDIM, nlive=100, bound="single",
+                                    sample="unif", rstate=rstate,
+                                    likelihood_mode="host", pool=pool,
+                                    queue_size=16)
+            if maxiter_first is None:
+                s.run_nested(print_progress=False)
+                return s.results
+            s.run_nested(maxiter=maxiter_first, add_live=False,
+                         print_progress=False)
+            s.save(fname)
+        with Pool(npool_resume, np_gau_loglike, gau_ptform) as pool2:
+            s2 = dytpu.NestedSampler.restore(fname, pool=pool2)
+            s2.run_nested(resume=True, print_progress=False)
+            return s2.results
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fname = os.path.join(tmp, "poolresize.pkl")
+        res_resumed = run(2, maxiter_first=250, fname=fname,
+                          npool_resume=3)
+    res_full = run(2)
+    assert res_resumed.niter == res_full.niter
+    assert np.array_equal(res_resumed.logz, res_full.logz)
+    assert np.array_equal(res_resumed.logl, res_full.logl)
+
+
 def test_dynamic_midbatch_resume():
-    # interrupt a dynamic run mid-batch via a checkpoint, restore, and
-    # finish: results must be bit-identical to an uninterrupted run
-    # (reference tests/test_resume.py:106-109 invariant)
+    # a maxiter interrupt mid-batch SUSPENDS the batch (it is not
+    # truncated); pickling and finishing via add_batch(resume=True)
+    # must reproduce the uninterrupted run bit-identically (reference
+    # tests/test_resume.py:106-109 invariant)
     import pickle
 
     def run(interrupt):
@@ -226,23 +266,23 @@ def test_dynamic_midbatch_resume():
         if not interrupt:
             dns.add_batch(nlive=80, print_progress=False)
             return dns.results
-        # start the batch but stop partway through (maxiter), pickle,
-        # restore, finish the batch
-        try:
-            dns.add_batch(nlive=80, maxiter=40, print_progress=False)
-        except Exception:
-            raise
-        # maxiter interrupts the batch mid-way; state has a live
-        # batch_sampler only if incomplete -- resume through add_batch
+        # start the batch but stop partway through (maxiter covers the
+        # 80 seeding iterations plus ~40 batch iterations), pickle,
+        # restore, finish the SAME batch
+        dns.add_batch(nlive=80, maxiter=120, print_progress=False)
+        assert dns.batch_sampler is not None  # suspended, not truncated
         dns2 = pickle.loads(pickle.dumps(dns))
-        if dns2.batch_sampler is not None:
-            dns2.add_batch(nlive=80, resume=True, print_progress=False)
+        assert dns2.batch_sampler is not None
+        dns2.add_batch(nlive=80, resume=True, print_progress=False)
+        assert dns2.batch_sampler is None
         return dns2.results
 
     full = run(False)
     resumed = run(True)
-    # batches may differ in split points; the combined run must agree
-    # statistically; bit-identity requires the same batch structure,
-    # which maxiter interruption changes -- so gate on closeness
-    assert abs(full.logz[-1] - resumed.logz[-1]) < \
-        4 * np.hypot(full.logzerr[-1], resumed.logzerr[-1])
+    assert resumed.niter == full.niter
+    assert np.array_equal(np.asarray(resumed.logz),
+                          np.asarray(full.logz))
+    assert np.array_equal(np.asarray(resumed.logl),
+                          np.asarray(full.logl))
+    assert np.array_equal(np.asarray(resumed.samples),
+                          np.asarray(full.samples))

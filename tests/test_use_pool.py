@@ -30,9 +30,9 @@ def ptform(u):
     return 10.0 * (2.0 * u - 1.0)
 
 
-@pytest.mark.slow
 def test_pool_pid_distinct():
-    """Evaluations must really run in distinct worker processes."""
+    """Evaluations must really run in distinct worker processes (default
+    tier, matching the reference CI: ``tests/test_resume.py:17-22``)."""
     rstate = get_rstate()
     with Pool(2, loglike_pid, ptform) as pool:
         samp = dytpu.NestedSampler(pool.loglike, pool.prior_transform,
@@ -45,6 +45,39 @@ def test_pool_pid_distinct():
     pids = np.unique(np.asarray(res.blob, dtype=np.int64))
     assert len(pids) >= 2, pids
     assert os.getpid() not in pids  # none evaluated in the parent
+
+
+def test_bootstrap_update_bound_in_pool():
+    """The update_bound bootstrap realizations must actually dispatch to
+    worker processes when enabled (PID telemetry on the bound), and stay
+    in the parent when the flag is off."""
+    first = {"min_ncall": 80, "min_eff": 100.0}  # force an early refit
+    rstate = get_rstate()
+    with Pool(2, loglike_plain, ptform) as pool:
+        samp = dytpu.NestedSampler(pool.loglike, pool.prior_transform,
+                                   NDIM, nlive=60, bound="single",
+                                   sample="unif", rstate=rstate,
+                                   likelihood_mode="host", pool=pool,
+                                   bootstrap=3, queue_size=16,
+                                   first_update=first)
+        samp.run_nested(print_progress=False, maxiter=150, add_live=False)
+        pids = getattr(samp.bound, "last_bootstrap_pids", None)
+        assert pids, "bootstrap expansion never ran"
+        assert all(p != os.getpid() for p in pids), pids
+
+    rstate = get_rstate()
+    with Pool(2, loglike_plain, ptform) as pool:
+        samp = dytpu.NestedSampler(pool.loglike, pool.prior_transform,
+                                   NDIM, nlive=60, bound="single",
+                                   sample="unif", rstate=rstate,
+                                   likelihood_mode="host", pool=pool,
+                                   use_pool={"update_bound": False},
+                                   bootstrap=3, queue_size=16,
+                                   first_update=first)
+        samp.run_nested(print_progress=False, maxiter=150, add_live=False)
+        pids = getattr(samp.bound, "last_bootstrap_pids", None)
+        assert pids, "bootstrap expansion never ran"
+        assert all(p == os.getpid() for p in pids), pids
 
 
 @pytest.mark.slow
