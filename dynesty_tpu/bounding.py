@@ -245,6 +245,7 @@ class Ellipsoid(Bound):
         for attr in ("ndim", "ctr", "cov", "am", "logvol", "axlens", "axes"):
             setattr(self, attr, getattr(ell, attr))
 
+        self.last_expand = 1.0
         if bootstrap > 0:
             mapper = map if pool is None else pool.map
             seeds = get_seed_sequence(rstate, bootstrap)
@@ -253,6 +254,7 @@ class Ellipsoid(Bound):
             self.last_bootstrap_pids = [p for _, p in out]
             expand = max(e for e, _ in out)
             if expand > 1.0:
+                self.last_expand = expand
                 self.scale_to_logvol(self.logvol +
                                      self.ndim * np.log(expand))
         if mc_integrate:
@@ -391,6 +393,7 @@ class MultiEllipsoid(Bound):
             raise RuntimeError("Rejecting invalid MultiEllipsoid region")
         self.logvol = _logsumexp(self.logvol_ells)
 
+        self.last_expand = 1.0
         if bootstrap > 0:
             mapper = map if pool is None else pool.map
             seeds = get_seed_sequence(rstate, bootstrap)
@@ -398,6 +401,7 @@ class MultiEllipsoid(Bound):
             out = list(mapper(_ellipsoid_bootstrap_expand, args))
             self.last_bootstrap_pids = [p for _, p in out]
             expand = max(e for e, _ in out)
+            self.last_expand = max(expand, 1.0)
             if np.log10(expand) * ndim > 2:
                 warnings.warn(
                     "Very large bootstrap enlargement of the ellipsoid "

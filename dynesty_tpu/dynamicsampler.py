@@ -99,7 +99,22 @@ def weight_function(results, args=None, return_weights=False):
     weight = (1.0 - pfrac) * zweight + pfrac * pweight
 
     nsamps = len(weight)
-    sel = np.nonzero(weight > maxfrac * weight.max())[0]
+    # Threshold on the weight DENSITY per unit log-volume: per-sample
+    # pweight carries a 1/n_i volume-share factor, so under a varying
+    # live-point profile (the batch-mode sawtooth, or mixed-nlive
+    # dynamic runs) the raw per-sample weights are modulated by up to
+    # 2x independent of the posterior.  Multiplying by samples_n
+    # removes that modulation (zweight already divides by samples_n in
+    # the same spirit); at constant nlive this is EXACTLY the reference
+    # rule (``dynamicsampler.py:84-170``), and for varying profiles it
+    # keeps the selected logl bracket density-independent.
+    n_prof = np.asarray(results["samples_n"], dtype=np.float64)
+    pdens = pweight * n_prof
+    psum = pdens.sum()
+    if psum > 0:
+        pdens = pdens / psum
+    wdens = (1.0 - pfrac) * zweight + pfrac * pdens
+    sel = np.nonzero(wdens > maxfrac * wdens.max())[0]
     bounds = [sel[0] - lpad, sel[-1] + lpad]
     logl = np.asarray(results["logl"])
     if bounds[1] > nsamps - 1:
@@ -310,6 +325,19 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         batch_sampler._pending_tuning = None
     niter += nlive_new
     batch_sampler.nlive = nlive_new
+    if getattr(main_sampler.sampling, "name", "") == "unif":
+        # Narrow kill batches for bracketed uniform runs: a batch round
+        # proposes above the shared threshold sorted_logl[q-1], whose
+        # level sits e^{q/nlive} deeper in volume than the live minimum
+        # — at q = nlive/2 that costs ~65% more rejections per accepted
+        # point.  Batches are short (the bracket spans ~1-5 nats), so
+        # the dispatch-amortization value of a wide queue is small;
+        # q = nlive/8 keeps the rejection overhead under ~15% while
+        # device-refit chaining keeps the dispatch count low.  MCMC
+        # kernels keep the wide queue: their per-accept cost (walks /
+        # slices evaluations) does not grow with threshold depth.
+        batch_sampler.queue_size_req = min(
+            batch_sampler.queue_size_req, max(16, nlive_new // 8))
     batch_sampler._apply_queue_clamp()
     batch_sampler.live_u = live_u
     batch_sampler.live_v = live_v
@@ -333,6 +361,19 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         batch_sampler.saved_run[k] = main_sampler.saved_run[k][:vol_idx]
     batch_sampler.dlv = math.log((nlive_new + 1.0) / nlive_new)
     batch_sampler.first_points = first_points
+    if np.isfinite(logl_max):
+        # expected batch length: iterations ~ nlive_new * (log-volume
+        # span of the bracket), read off the saved run.  The static
+        # sampler uses it to size its dispatches from the batch's FIRST
+        # round (the progress-based estimate only kicks in later), so a
+        # short bracketed batch never strands a wide terminal round of
+        # speculative evaluations at the logl_max stop.
+        above = np.nonzero(saved_logl >= logl_max)[0]
+        end_idx = int(above[0]) if len(above) else len(saved_logvol) - 1
+        start_lv = saved_logvol[vol_idx] if vol_idx < len(saved_logvol) \
+            else saved_logvol[-1]
+        span = max(float(start_lv - saved_logvol[end_idx]), 0.0)
+        batch_sampler._bracket_est_total = nlive_new * span
     return batch_sampler, ncall, niter, logl_min, logl_max
 
 
@@ -750,6 +791,10 @@ class DynamicSampler:
             batch_sampler.saved_run["logz"] = [-1e100]
             batch_sampler.saved_run["logzvar"] = [0]
             batch_sampler.saved_run["h"] = [0]
+        # telemetry: speculative work stranded inside this batch
+        self.nc_waste_total = getattr(self, "nc_waste_total", 0) + \
+            getattr(batch_sampler, "nc_waste_total", 0)
+        batch_sampler.nc_waste_total = 0
         for it, results in enumerate(batch_sampler.add_live_points()):
             D = dict(id=results.worst, u=results.ustar, v=results.vstar,
                      logl=results.loglstar, nc=results.nc,

@@ -372,6 +372,12 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         # replay only: the interrupted round's proposal threshold (birth
         # of any refills made while consuming the replayed tail)
         birth0 = ctrl[16] if ctrl.shape[0] > 16 else ctrl[4]
+        # continuation of a budget-interrupted dispatch: rounds below
+        # this index were already consumed (and their tail replayed), so
+        # they are skipped entirely; the SAME dispatch key then makes
+        # the remaining rounds bit-identical to the uninterrupted run's
+        rounds_skip = ctrl[17].astype(jnp.int32) if ctrl.shape[0] > 17 \
+            else jnp.int32(0)
         # runtime cap on the chained rounds that consume/bill work: the
         # host shrinks it near a stopping criterion so a terminal stop
         # does not strand (and bill) a mostly-unused speculative dispatch
@@ -402,7 +408,7 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             # 25-D benchmark — a carry-dependent cond blocks XLA's
             # scan pipelining — for zero call savings, since the
             # host's est-based rounds_active already bounds overshoot.
-            forced_off = ridx >= rounds_active
+            forced_off = (ridx >= rounds_active) | (ridx < rounds_skip)
 
             def do_round(carry):
                 live, live_blob, integ, counters, scale = carry

@@ -203,6 +203,91 @@ def _sample_friends_union(key, arrays, q, ncdim, dtype, ftype):
     return x, accept
 
 
+def make_ellipsoid_refit(ncdim, dtype=jnp.float64):
+    """Traceable one-step refit of a padded ellipsoid stack from the
+    current live points, enabling CHAINED uniform rounds: bound
+    freshness no longer requires a host round trip, so several
+    propose+consume rounds can run per device dispatch (the host's
+    full BIC resplit + bootstrap still runs at dispatch boundaries).
+
+    The refit mirrors the host fit (``bounding.py:bounding_ellipsoid``):
+    assign each live point to its nearest ellipsoid (Mahalanobis under
+    the previous fit), recompute the member mean/MLE-covariance per
+    ellipsoid, inflate so the worst member sits at distance
+    ``1 - 1e-3``, then apply ``arrays['expand']`` — the host's latest
+    bootstrap x enlarge linear factor (staleness of that calibration is
+    one dispatch, same as before).  Slots with fewer than ``ncdim + 1``
+    members (or a failed factorization) keep their previous fit, so the
+    all-members-contained invariant always holds.
+
+    Returns ``refit(u_live, arrays) -> arrays`` (same padded schema).
+    """
+    d = ncdim
+    eps_contain = 1e-3
+    # d-ball log-volume prefactor: keeps device log-volumes on the same
+    # scale as host-fit values (mixed when a slot keeps its previous fit)
+    logvol_pref = (d / 2.0) * math.log(math.pi) - math.lgamma(d / 2.0 + 1.0)
+
+    def refit(u, arrays):
+        ctrs0 = arrays["ctrs"].astype(dtype)
+        axes0 = arrays["axes"].astype(dtype)
+        ams0 = arrays["ams"].astype(dtype)
+        logvols0 = arrays["logvols"].astype(dtype)
+        mask = arrays["mask"]
+        expand = arrays.get("expand")
+        expand = jnp.asarray(1.0, dtype) if expand is None \
+            else expand.astype(dtype)
+        m = ctrs0.shape[0]
+
+        diff = u[:, None, :] - ctrs0[None, :, :]
+        d2 = jnp.einsum("nmi,mij,nmj->nm", diff, ams0, diff)
+        d2 = jnp.where(mask[None, :], d2, jnp.inf)
+        idx = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(idx, m, dtype=dtype)
+        counts = onehot.sum(axis=0)
+        safe = jnp.maximum(counts, 1.0)
+        ctr = (onehot.T @ u) / safe[:, None]
+        cent = u[:, None, :] - ctr[None, :, :]
+        cov = jnp.einsum("nm,nmi,nmj->mij", onehot, cent,
+                         cent) / safe[:, None, None]
+        # conditioning floor keeps degenerate clusters factorizable
+        tr = jnp.trace(cov, axis1=1, axis2=2) / d
+        eye = jnp.eye(d, dtype=dtype)
+        cov = cov + (1e-10 * jnp.maximum(tr, 1e-30))[:, None, None] * eye
+        chol = jnp.linalg.cholesky(cov)
+        ok = jnp.all(jnp.isfinite(chol.reshape(m, -1)), axis=1) & \
+            (counts >= d + 1)
+        chol_safe = jnp.where(ok[:, None, None], chol, eye[None])
+        linv = jax.scipy.linalg.solve_triangular(
+            chol_safe, jnp.broadcast_to(eye, (m, d, d)), lower=True)
+        am = jnp.einsum("mki,mkj->mij", linv, linv)  # cov^-1
+
+        # inflate to contain every member, then the host's calibration
+        dd = u - ctr[idx]
+        d2o = jnp.einsum("ni,nij,nj->n", dd, am[idx], dd)
+        fmax = jnp.zeros((m,), dtype).at[idx].max(d2o, mode="drop")
+        f = jnp.sqrt(jnp.maximum(fmax, 1e-30) / (1.0 - eps_contain))
+        f = f * expand
+        axes = chol_safe * f[:, None, None]
+        am = am / (f ** 2)[:, None, None]
+        logvol = jnp.log(jnp.abs(jnp.diagonal(
+            chol_safe, axis1=1, axis2=2))).sum(axis=1) + \
+            d * jnp.log(f) + logvol_pref
+
+        keep = mask & ok
+        k1, k2, k3 = (keep[:, None], keep[:, None, None],
+                      keep[:, None, None])
+        return {
+            "ctrs": jnp.where(k1, ctr, ctrs0),
+            "axes": jnp.where(k2, axes, axes0),
+            "ams": jnp.where(k3, am, ams0),
+            "logvols": jnp.where(keep, logvol, logvols0),
+            "mask": mask,
+        }
+
+    return refit
+
+
 # ==========================================================================
 # uniform-in-bound kernel
 

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from .fused import make_fused_round, select_starts, unpack_flat
-from .kernels import (make_rwalk_round, make_slice_round, make_unif_round,
-                      pad_ellipsoids)
+from .kernels import (make_ellipsoid_refit, make_rwalk_round,
+                      make_slice_round, make_unif_round, pad_ellipsoids)
 
 __all__ = [
     "InternalSampler", "UnitCubeSampler", "UniformBoundSampler",
@@ -79,6 +79,10 @@ class InternalSampler:
     def update_bound_interval_ratio(self):
         """Bound-update cadence in units of ncall per live point."""
         return 1
+
+    def _max_rounds(self, ns, bound_kind):
+        """Per-configuration cap on chained rounds (None = no cap)."""
+        return self.max_rounds_per_dispatch
 
     def _new_from_template(self, template_kwargs):
         """Clone with extra defaults (used when the factory passes
@@ -155,8 +159,9 @@ class InternalSampler:
         objects over the same user functions reuse the existing trace."""
         ns = nested_sampler
         rounds = getattr(ns, "rounds_per_dispatch", 1)
-        if self.max_rounds_per_dispatch is not None:
-            rounds = min(rounds, self.max_rounds_per_dispatch)
+        cap = self._max_rounds(ns, bound_kind)
+        if cap is not None:
+            rounds = min(rounds, cap)
         mode = getattr(ns, "proposal_mode", "batch")
         mesh = getattr(ns, "mesh", None)
         cfg = ("fused", bound_kind, ns.queue_size, ns.nlive, rounds,
@@ -199,11 +204,14 @@ class InternalSampler:
         return ()
 
     def run_fused(self, nested_sampler, key, live_packed, live_blob,
-                  axes_args, integ, limits, rounds_active=None):
+                  axes_args, integ, limits, rounds_active=None,
+                  rounds_skip=0):
         """Execute one fused round; returns the unpacked host dict plus
         (old_blobs, new_live_blob) device trees.  ``rounds_active`` caps
         the chained rounds that actually consume/bill work this dispatch
-        (same compiled program; see make_fused_round)."""
+        (same compiled program; see make_fused_round); ``rounds_skip``
+        skips the leading rounds (continuation of a budget-interrupted
+        dispatch with its original key)."""
         bound_kind = nested_sampler.device_bound_kind()
         fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
         if rounds_active is None:
@@ -211,7 +219,7 @@ class InternalSampler:
         rounds_active = min(max(int(rounds_active), 1), layout["rounds"])
         ctrl = np.concatenate([integ, limits,
                                [self.scale, 0.0, float(rounds_active),
-                                -1e30]])
+                                -1e30, float(rounds_skip)]])
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
             fused_fn(key, live_packed, live_blob, axes_args,
                      jnp.asarray(ctrl, nested_sampler.dtype))
@@ -268,7 +276,7 @@ class InternalSampler:
             args["qblob"] = prop_blob
         ctrl = np.concatenate([integ, limits,
                                [self.scale, float(kills0), 1.0,
-                                max(float(birth0), -1e30)]])
+                                max(float(birth0), -1e30), 0.0]])
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
             fused_fn(key, live_packed, live_blob, args,
                      jnp.asarray(ctrl, nested_sampler.dtype))
@@ -368,6 +376,7 @@ def _unif_propose_fn(sampler, ns, bound_kind):
     npdim = like.npdim
     il = ndim + npdim
     constrain = lane_constrainer(getattr(ns, "mesh", None))
+    refit = None
     if isinstance(sampler, UnitCubeSampler):
         inner = make_unif_round(like, ndim=ndim, ncdim=ndim, q=q,
                                 bound_kind="cube", dtype=ns.dtype,
@@ -382,9 +391,19 @@ def _unif_propose_fn(sampler, ns, bound_kind):
             nonbounded=sampler.sampler_kwargs.get("nonbounded"),
             dtype=ns.dtype, host_sampler=host_sampler,
             constrain=constrain)
+        if bound_kind == "ellipsoids":
+            # per-round device refit: rejection efficiency tracks bound
+            # freshness, so chained rounds re-fit the ellipsoid stack
+            # from the current live points before every round (the host
+            # BIC resplit + bootstrap still runs at dispatch boundaries)
+            refit = make_ellipsoid_refit(ncdim, dtype=ns.dtype)
 
     def propose(k_sel, k_prop, live, live_blob, axes_args, scale,
                 loglstar):
+        if refit is not None:
+            arrays = dict(axes_args)
+            arrays.update(refit(live[:, :ncdim], axes_args))
+            axes_args = arrays
         packed, blob_out = inner(k_prop, loglstar, axes_args)
         qu = packed[:, :ndim]
         qv = packed[:, ndim:il]
@@ -452,13 +471,24 @@ class UniformBoundSampler(InternalSampler):
     ('unif')."""
 
     name = "unif"
-    # rejection efficiency tracks how tightly the bound hugs the
-    # constrained region, so stale bounds are expensive: refits can only
-    # happen at dispatch boundaries, and chaining rounds was measured to
-    # cost far more in extra rejections (+37% ncall on the eggbox) than
-    # the saved dispatch latency.  MCMC kernels (rwalk/slice) only take
-    # starts/axes from the bound and chain freely.
+    # Rejection efficiency tracks how tightly the bound hugs the
+    # constrained region, so stale bounds are expensive: without a
+    # per-round refit, chaining rounds was measured to cost far more in
+    # extra rejections (+37% ncall on the eggbox) than the saved
+    # dispatch latency.  Ellipsoid-stack bounds now get a DEVICE-side
+    # refit before every chained round (make_ellipsoid_refit), which
+    # keeps the fit fresh between host refits — those still run the
+    # full BIC resplit + bootstrap at dispatch boundaries, so the split
+    # STRUCTURE ages at most `unif_max_chain` rounds.  Friends bounds
+    # (ball/cube kernels re-centered on the live points) and custom
+    # host-sampled bounds still run one round per dispatch.
     max_rounds_per_dispatch = 1
+    unif_max_chain = 4
+
+    def _max_rounds(self, ns, bound_kind):
+        if bound_kind == "ellipsoids":
+            return self.unif_max_chain
+        return 1
 
     def propose_round(self, nested_sampler, loglstar, q, key):
         like = nested_sampler.loglikelihood

@@ -344,9 +344,10 @@ class Sampler:
         self.plateau_counter = None
         self.plateau_logdvol = None
         self.saved_run = RunRecord()
-        for k in ("_integ", "_pending_records", "_leftover", "_live_dev",
-                  "_live_blob_dev", "_mirror_stale", "_bound_upload",
-                  "_nc_carry", "_nc_per_round_ema"):
+        for k in ("_integ", "_pending_records", "_leftover",
+                  "_continuation", "_live_dev", "_live_blob_dev",
+                  "_mirror_stale", "_bound_upload", "_nc_carry",
+                  "_nc_per_round_ema"):
             self.__dict__.pop(k, None)
 
     # ------------------------------------------------------------------
@@ -453,6 +454,12 @@ class Sampler:
             if kind == "ellipsoids":
                 arrays = pad_ellipsoids(arrays["ctrs"], arrays["axes"],
                                         arrays["ams"], arrays["logvols"])
+                # the host's latest bootstrap x enlarge calibration as a
+                # linear factor: applied by the device-side per-round
+                # refit that keeps chained uniform rounds fresh
+                arrays["expand"] = np.float64(
+                    getattr(self.bound, "last_expand", 1.0) *
+                    self.bound_enlarge ** (1.0 / self.ncdim))
             else:
                 arrays = dict(arrays)
             dev = {k: jnp.asarray(v) for k, v in arrays.items()}
@@ -695,6 +702,8 @@ class Sampler:
             self._pending_records = []
         if not hasattr(self, "_leftover"):
             self._leftover = None
+        if not hasattr(self, "_continuation"):
+            self._continuation = None
         self._live_dev = getattr(self, "_live_dev", None)
         self._live_blob_dev = getattr(self, "_live_blob_dev", None)
         self._mirror_stale = getattr(self, "_mirror_stale", False)
@@ -809,6 +818,35 @@ class Sampler:
                         kills0=self._leftover.get("kills", 0),
                         birth0=self._leftover.get("birth0", -1e30))
                 n_real_limit = n_real
+                skip_off = 0
+                dispatch_key_seed = None
+            elif self._continuation is not None:
+                # a budget stop interrupted a CHAINED dispatch mid-way:
+                # the interrupted round's tail was replayed above; now
+                # regenerate the dispatch's remaining rounds with its
+                # ORIGINAL key and a head-skip, so they are bit-identical
+                # to what an uninterrupted run would have consumed (the
+                # later rounds' proposals depend on the live state, which
+                # the replay has now brought to exactly the right point).
+                # No bound refit and no fresh RNG draw here.
+                cont = self._continuation
+                self._continuation = None
+                self.queue_size = cont["queue_size"]
+                key = jax.random.key(cont["key_seed"])
+                dispatch_key_seed = cont["key_seed"]
+                _upload_live()
+                axes_args = self.device_bound_arrays()
+                out, live_out, live_blob_out, old_blobs_dev = \
+                    self.internal_sampler.run_fused(
+                        self, key, self._live_dev, self._live_blob_dev,
+                        axes_args, integ, limits,
+                        rounds_active=cont["rounds"],
+                        rounds_skip=cont["skip"])
+                skip_off = cont["skip"] * self.queue_size
+                n_real_limit = min(len(out["accepts"]),
+                                   cont["rounds"] * self.queue_size)
+                self.last_proposals_sharding = getattr(
+                    out["proposals_dev"], "sharding", None)
             else:
                 # adaptive dispatch sizing: near the stopping criterion
                 # (or an iteration cap) activate only as many chained
@@ -844,6 +882,14 @@ class Sampler:
                         done_iters = max(self.it - self._bracket_it0, 1)
                         est2 = 1.2 * done_iters * (1.0 - prog) / prog
                         est = est2 if est is None else min(est, est2)
+                    # a-priori batch length from the bracket's saved
+                    # log-volume span (set by _configure_batch_sampler):
+                    # available from the batch's first round, before the
+                    # progress estimate can fire
+                    tot = getattr(self, "_bracket_est_total", None)
+                    if tot is not None:
+                        est3 = 1.2 * max(tot - (self.it - 1), 0.0)
+                        est = est3 if est is None else min(est, est3)
                 # NOTE: the maxiter/maxcall budgets must NOT shape the
                 # dispatch (width or active rounds): the structure has to
                 # be a pure function of pickled sampler state so that an
@@ -879,6 +925,19 @@ class Sampler:
                     rounds_active = max(1, int(math.ceil(
                         (min(est, 2**30) + self.queue_size // 2)
                         / self.queue_size)))
+                if np.isfinite(logl_max) and getattr(
+                        self.internal_sampler, "name", "") == "unif":
+                    # bracketed (dynamic-batch) uniform runs: chain only
+                    # rounds that are CONFIDENTLY needed (round down with
+                    # margin) — a round proposed past the logl_max stop
+                    # is a full wave loop of stranded billed work,
+                    # which costs far more calls than an extra dispatch
+                    # costs latency
+                    if est is None:
+                        rounds_active = 1
+                    else:
+                        rounds_active = max(1, int(math.floor(
+                            0.7 * min(est, 2**30) / self.queue_size)))
 
                 # round boundary: refit triggers (syncs live mirrors)
                 loglstar_round = max(loglstar, np.float64(LOWL_VAL))
@@ -887,7 +946,13 @@ class Sampler:
                 bounditer = self.nbound - 1 \
                     if not self.unit_cube_sampling else 0
                 axes_args = self.device_bound_arrays()
-                key = _get_key(self.rstate)
+                # per-dispatch key, with its seed retained so a
+                # budget-interrupted chained dispatch can be continued
+                # bit-exactly (same rstate consumption as get_jax_key)
+                dispatch_key_seed = int(
+                    self.rstate.integers(0, 2**63 - 1))
+                key = jax.random.key(dispatch_key_seed)
+                skip_off = 0
                 _upload_live()
                 out, live_out, live_blob_out, old_blobs_dev = \
                     self.internal_sampler.run_fused(
@@ -908,7 +973,7 @@ class Sampler:
                     out["proposals_dev"], "sharding", None)
 
             # ---- leftover bookkeeping (checkpoint-exact resume)
-            n_cons = min(out["n_consumed"], n_real_limit)
+            n_cons = min(out["n_consumed"], n_real_limit - skip_off)
             nc_col = ndim + npdim + 1  # nc column of the proposals block
             kept_nc = 0
             if self._leftover is not None:
@@ -921,47 +986,64 @@ class Sampler:
                     lo = {"prop": prop_rest,
                           "kills": (self._leftover.get("kills", 0) +
                                     out["n_accepted"]),
-                          "birth0": self._leftover.get("birth0", -1e30)}
+                          "birth0": self._leftover.get("birth0", -1e30),
+                          "cont": self._leftover.get("cont")}
                     if self.blob and self._leftover.get("blob") is not None:
                         lo["blob"] = jax.tree.map(
                             lambda b: b[n_cons:], self._leftover["blob"])
                     self._leftover = lo
                 else:
+                    # tail fully replayed: if the interrupted dispatch
+                    # had more chained rounds, regenerate them next with
+                    # its original key (continuation dispatch)
+                    self._continuation = self._leftover.get("cont")
                     self._leftover = None
-            elif n_cons < n_real_limit:
-                # rare (dispatch ended early): fetch the device-resident
-                # proposals block for checkpoint-exact leftover replay.
-                # Batch (death/refill) mode keeps only the interrupted
-                # round's own tail: later chained rounds' proposals were
-                # generated for live states this run will now never
-                # revisit identically, and each round's kill accounting
-                # must restart at its own boundary.
+            elif n_cons < n_real_limit - skip_off:
+                # dispatch ended early (budget/terminal stop): fetch the
+                # device-resident proposals block for checkpoint-exact
+                # leftover replay.  Only the interrupted round's OWN tail
+                # is replayable verbatim — later chained rounds proposed
+                # from a live state frozen at the stop, which the
+                # uninterrupted run would have kept evolving — so the
+                # remaining rounds are recorded as a CONTINUATION
+                # (re-run with the same dispatch key + head skip), making
+                # budget-interrupted chained dispatches resume
+                # bit-exactly in every proposal mode.
                 qr = self.queue_size
+                g = skip_off + n_cons  # global entry index of the stop
+                r0 = g // qr
+                lo_end = min(n_real_limit, (r0 + 1) * qr)
                 if self.proposal_mode == "batch":
-                    lo_end = min(n_real_limit, (n_cons // qr + 1) * qr)
-                    kills = int(np.sum(
-                        out["accepts"][(n_cons // qr) * qr:n_cons]))
+                    kills = int(np.sum(out["accepts"][r0 * qr:g]))
                 else:
-                    lo_end = n_real_limit
                     kills = 0
                 props = np.asarray(
                     jax.device_get(out["proposals_dev"]),
-                    dtype=np.float64)[n_cons:lo_end]
+                    dtype=np.float64)[g:lo_end]
+                n_rounds_exec = n_real_limit // qr
+                cont = None
+                if r0 + 1 < n_rounds_exec and dispatch_key_seed is not None:
+                    cont = {"key_seed": dispatch_key_seed,
+                            "skip": r0 + 1,
+                            "rounds": n_rounds_exec,
+                            "queue_size": qr}
                 if len(props):
                     kept_nc = int(props[:, nc_col].sum())
                     # the interrupted round's proposal threshold: births
                     # of refills made while replaying this tail
                     birth0 = float(np.asarray(
-                        out["round_thresholds"])[n_cons // qr])
-                    lo = {"prop": props, "kills": kills, "birth0": birth0}
+                        out["round_thresholds"])[r0])
+                    lo = {"prop": props, "kills": kills, "birth0": birth0,
+                          "cont": cont}
                     if self.blob:
                         all_blob = jax.device_get(out["qblob"])
                         lo["blob"] = jax.tree.map(
-                            lambda b: np.asarray(b)[n_cons:lo_end],
+                            lambda b: np.asarray(b)[g:lo_end],
                             all_blob)
                     self._leftover = lo
                 else:
                     self._leftover = None
+                    self._continuation = cont
             else:
                 self._leftover = None
 
@@ -973,7 +1055,7 @@ class Sampler:
             if self.blob:
                 old_blobs = jax.device_get(old_blobs_dev)
             if out["n_consumed"] > 0:
-                last_i = min(out["n_consumed"],
+                last_i = min(skip_off + out["n_consumed"],
                              len(out["delta_logz"])) - 1
                 self._last_delta_logz = float(out["delta_logz"][last_i])
             ig = out["integ"]
@@ -1025,6 +1107,9 @@ class Sampler:
                     self.ncall += lo_nc
                     extra_nc += lo_nc
                     self._leftover = None
+                # a pending continuation represents work never launched:
+                # nothing to bill, just drop it
+                self._continuation = None
 
             # ---- append the round's records in bulk, stage the yields
             recs = np.asarray(out["records"], dtype=np.float64)
