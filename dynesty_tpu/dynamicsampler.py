@@ -510,13 +510,32 @@ class DynamicSampler:
 
     @property
     def results(self):
-        """Combined-run results (dynamic format)."""
+        """Combined-run results (dynamic format).
+
+        If a batch is currently suspended by maxiter/maxcall (see
+        ``sample_batch``), its partial samples are merged into the view
+        non-destructively so interrupted work is visible (reference
+        truncate-and-merge semantics, issue #392 /
+        ``tests/test_misc.py:474-509``) while the suspended state stays
+        intact for a bit-exact ``add_batch(resume=True)``.
+        """
+        saved = self.saved_run
+        if (self.batch_sampler is not None and self.new_run is not None
+                and len(self.new_run["id"]) > 0):
+            state = (self.saved_run, self.new_run, self.new_logl_min,
+                     self.new_logl_max, self.batch)
+            try:
+                self.combine_runs()
+                saved = self.saved_run
+            finally:
+                (self.saved_run, self.new_run, self.new_logl_min,
+                 self.new_logl_max, self.batch) = state
         d = {}
         for k in ("nc", "v", "id", "batch", "it", "u", "n", "birth",
                   "logwt", "logl", "logvol", "logz", "logzvar", "h",
                   "batch_nlive", "batch_logl_bounds", "blob",
                   "proposal_stats"):
-            d[k] = np.array(self.saved_run[k])
+            d[k] = np.array(saved[k])
         # decode the f32-safe clamp back to -inf (prior-born points)
         birth = d["birth"].astype(np.float64)
         birth[birth <= -1e29] = -np.inf
@@ -536,10 +555,10 @@ class DynamicSampler:
             if self.sampler is not None and self.sampler.save_bounds:
                 results.append(("bound", copy.deepcopy(self.bound_list)))
                 results.append(
-                    ("bound_iter", np.array(self.saved_run["bounditer"])))
+                    ("bound_iter", np.array(saved["bounditer"])))
                 results.append(
-                    ("samples_bound", np.array(self.saved_run["boundidx"])))
-                results.append(("scale", np.array(self.saved_run["scale"])))
+                    ("samples_bound", np.array(saved["boundidx"])))
+                results.append(("scale", np.array(saved["scale"])))
         return Results(results)
 
     @property
@@ -763,7 +782,8 @@ class DynamicSampler:
                                       delta_logz=results.delta_logz,
                                       proposal_stats=results.proposal_stats)
 
-        if getattr(batch_sampler, "interrupted_budget", False):
+        if getattr(batch_sampler, "interrupted_budget", False) \
+                and iterated_batch:
             # maxiter/maxcall stopped the batch mid-flight: SUSPEND
             # instead of truncating.  The batch sampler (with its
             # leftover proposals, bracket and partial new_run) stays
@@ -775,6 +795,11 @@ class DynamicSampler:
             # ``tests/test_resume.py:106-109``).
             self.internal_state = DynamicSamplerStatesEnum.INBATCH
             return
+        # if the budget was exhausted before the batch produced any dead
+        # point (e.g. maxiter < nlive_new so seeding consumed it all),
+        # there is nothing mid-flight to suspend: complete the batch as a
+        # seeds-only run (the reference's issue-#392 semantics — its
+        # maxiter interrupt always adds the batch live points and merges)
 
         if (iterated_batch and results.loglstar < logl_max
                 and np.isfinite(logl_max) and maxiter_left > 0
