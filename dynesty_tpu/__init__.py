@@ -30,9 +30,21 @@ import jax as _jax
 # jax_compilation_cache_dir yourself before importing dynesty_tpu.
 if not _os.environ.get("DYNESTY_TPU_NO_COMPILATION_CACHE"):
     if _jax.config.jax_compilation_cache_dir is None:
+        # The cache path is salted with the host CPU's feature set:
+        # XLA:CPU entries hold AOT-compiled machine code, and loading an
+        # artifact compiled on a host with different vector extensions
+        # can SIGILL (observed after a container migration).  A per-host
+        # cache trades cold starts across machines for safety.
+        import hashlib as _hashlib
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next(_l for _l in _f if _l.startswith("flags"))
+            _salt = _hashlib.sha1(_flags.encode()).hexdigest()[:12]
+        except (OSError, StopIteration):
+            _salt = "generic"
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.path.expanduser("~/.cache/dynesty_tpu_xla"))
+            _os.path.expanduser("~/.cache/dynesty_tpu_xla-" + _salt))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                            0.5)
 

@@ -107,7 +107,12 @@ def weight_function(results, args=None, return_weights=False):
     # removes that modulation (zweight already divides by samples_n in
     # the same spirit); at constant nlive this is EXACTLY the reference
     # rule (``dynamicsampler.py:84-170``), and for varying profiles it
-    # keeps the selected logl bracket density-independent.
+    # keeps the selected logl bracket density-independent.  (A
+    # deficit-style rule — density divided by a smoothed allocation
+    # profile — was evaluated and rejected: once a few batches have
+    # equalized the per-sample weights, the whole run clears the
+    # maxfrac threshold and the final batches degenerate to near-full
+    # re-runs.)
     n_prof = np.asarray(results["samples_n"], dtype=np.float64)
     pdens = pweight * n_prof
     psum = pdens.sum()

@@ -357,6 +357,24 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
                 u_prop = jnp.concatenate([uc, u_extra], axis=1)
             else:
                 u_prop = uc
+            # Adaptive wave width: once an acceptance estimate exists
+            # (n_filled/nc from earlier waves), only the first
+            # ~need/eff * 1.25 + 4 lanes of this wave count as launched
+            # proposals; the rest are masked out BEFORE their outcome is
+            # seen (no acceptance bias) and are neither billed nor, in
+            # host mode, evaluated.  Without this, the final wave of
+            # every fill bills all q lanes even when a handful of slots
+            # remain: at ~75% acceptance that rounds 1.3 calls/point up
+            # to a full 2.0.  Wave 1 always runs full width.
+            need = (q - n_filled).astype(jnp.float32)
+            eff = n_filled.astype(jnp.float32) / jnp.maximum(
+                nc.astype(jnp.float32), 1.0)
+            est = jnp.ceil(1.25 * need / jnp.maximum(eff, 1e-6)) + 4.0
+            width = jnp.where((n_filled > 0) & (nc > 0),
+                              jnp.minimum(est, float(q)),
+                              float(q)).astype(jnp.int32)
+            lane_ok = jnp.arange(q, dtype=jnp.int32) < width
+            valid = valid & lane_ok
             if constrain is not None:
                 u_prop, valid = constrain(u_prop), constrain(valid)
             incube = unitcheck_batch(uc, nb_cluster)
@@ -390,7 +408,7 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
             bnc = bnc.at[dest].set(slot_nc, mode="drop")
             pending = jnp.where(n_new > 0, 0, avail)
             return (key, n_filled + n_new, waves + 1, nc + nc_wave,
-                    n_prop + q, pending, (bu, bv, bl, bnc, bb))
+                    n_prop + width, pending, (bu, bv, bl, bnc, bb))
 
         init = (key, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.int32(0), (u0, v0, logl0, nc0, blob0))
