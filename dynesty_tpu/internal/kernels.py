@@ -358,7 +358,7 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
             else:
                 u_prop = uc
             # Adaptive wave width: once an acceptance estimate exists
-            # (n_filled/nc from earlier waves), only the first
+            # (n_filled/n_prop from earlier waves), only the first
             # ~need/eff * 1.25 + 4 lanes of this wave count as launched
             # proposals; the rest are masked out BEFORE their outcome is
             # seen (no acceptance bias) and are neither billed nor, in
@@ -367,10 +367,13 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
             # remain: at ~75% acceptance that rounds 1.3 calls/point up
             # to a full 2.0.  Wave 1 always runs full width.
             need = (q - n_filled).astype(jnp.float32)
+            # successes per proposed LANE (folds in draw-validity
+            # rejection, e.g. the ellipsoid-union overlap correction,
+            # not just the likelihood-threshold acceptance)
             eff = n_filled.astype(jnp.float32) / jnp.maximum(
-                nc.astype(jnp.float32), 1.0)
+                n_prop.astype(jnp.float32), 1.0)
             est = jnp.ceil(1.25 * need / jnp.maximum(eff, 1e-6)) + 4.0
-            width = jnp.where((n_filled > 0) & (nc > 0),
+            width = jnp.where((n_filled > 0) & (n_prop > 0),
                               jnp.minimum(est, float(q)),
                               float(q)).astype(jnp.int32)
             lane_ok = jnp.arange(q, dtype=jnp.int32) < width

@@ -8,5 +8,6 @@ ICI.  Host orchestration stays single-process.
 """
 
 from .mesh import make_mesh, shard_batch, batch_sharding
+from .telemetry import scaling_report
 
-__all__ = ["make_mesh", "shard_batch", "batch_sharding"]
+__all__ = ["make_mesh", "shard_batch", "batch_sharding", "scaling_report"]

@@ -18,3 +18,16 @@ import jax  # noqa: E402
 if os.environ.get("DYNESTY_TPU_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop live compiled executables between modules: long single-process
+    runs accumulate XLA:CPU state that has been observed to corrupt a
+    later backend compile (deterministic SIGSEGV ~90 programs in)."""
+    yield
+    import jax
+    jax.clear_caches()

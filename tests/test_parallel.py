@@ -184,3 +184,20 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_scaling_report():
+    # the telemetry must really partition the batch at every mesh size
+    # and produce finite throughput numbers (thread-level scaling on the
+    # virtual host mesh; ICI scaling on real chips)
+    from dynesty_tpu.parallel import scaling_report
+
+    loglike, _ = _gau()
+    rep = scaling_report(loglike, NDIM, q=256, sizes=(1, 4, 8), reps=3,
+                         chain=2, rstate=get_rstate())
+    assert [r["n_devices"] for r in rep] == [1, 4, 8]
+    for r in rep:
+        assert r["partitioned"]
+        assert np.isfinite(r["evals_per_s"]) and r["evals_per_s"] > 0
+    assert rep[0]["speedup"] == 1.0
