@@ -49,6 +49,7 @@ H_NLIVE = 500
 H_WIDTH = 256  # matvec chain width
 H_LAYERS = 96  # chain depth; ~1.5 ms/call in numpy on one CPU core
 H_TRUTH = -H_NDIM * np.log(20.0)  # 1e-6 tanh perturbation is negligible
+H_ROUNDS = 12  # explicit: lifts the unif chain cap (expensive likelihood)
 HEAVY_REF_SECONDS = 39.2  # reference dynesty, heavy 3-D, this host
 # (measured 2026-08-17: multi/unif nlive=500 with the depth-96 chain)
 
@@ -138,21 +139,26 @@ def bench_heavy():
 
     loglike = _heavy_loglike_jax()
 
-    # warm-up (compilation out of the measured window)
+    # warm-up (compilation out of the measured window): a FULL tiny-seed
+    # run so every fused-program variant the timed run hits (unit-cube,
+    # each padded-ellipsoid bucket, add_live sweep) is traced and
+    # compiled here; traces are shared across sampler instances
+    # process-wide
     warm = dytpu.NestedSampler(loglike, _heavy_ptform, H_NDIM,
                                nlive=H_NLIVE, bound="multi", sample="unif",
                                rstate=np.random.Generator(
                                    np.random.PCG64(1)),
-                               queue_size=QUEUE)
-    warm.run_nested(maxiter=3 * QUEUE + 1, print_progress=False,
-                    add_live=False)
+                               queue_size=QUEUE,
+                               rounds_per_dispatch=H_ROUNDS)
+    warm.run_nested(print_progress=False)
 
     rstate = np.random.Generator(np.random.PCG64(SEED))
     t0 = time.time()
     sampler = dytpu.NestedSampler(loglike, _heavy_ptform, H_NDIM,
                                   nlive=H_NLIVE, bound="multi",
                                   sample="unif", rstate=rstate,
-                                  queue_size=QUEUE)
+                                  queue_size=QUEUE,
+                                  rounds_per_dispatch=H_ROUNDS)
     sampler.run_nested(print_progress=False)
     elapsed = time.time() - t0
     res = sampler.results

@@ -214,6 +214,7 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         bound_enlarge=main_sampler.bound_enlarge,
         rounds_per_dispatch=getattr(main_sampler, "rounds_per_dispatch",
                                     1),
+        rounds_explicit=getattr(main_sampler, "rounds_explicit", False),
         proposal_mode=getattr(main_sampler, "proposal_mode", "batch"))
     batch_sampler.save_bounds = save_bounds
     batch_sampler.pool = main_sampler.pool
@@ -390,7 +391,8 @@ class DynamicSampler:
                  nlive0=None, ncdim=None, rstate=None, queue_size=None,
                  bound_update_interval_ratio=None, first_bound_update=None,
                  bound_bootstrap=0, bound_enlarge=1.0, blob=False,
-                 cite=None, rounds_per_dispatch=8, proposal_mode="batch"):
+                 cite=None, rounds_per_dispatch=None,
+                 proposal_mode="batch"):
         self.loglikelihood = loglikelihood
         self.ndim = ndim
         self.ncdim = ncdim or ndim
@@ -405,7 +407,8 @@ class DynamicSampler:
         self.cite = cite or ""
         self.rstate = rstate
         self.queue_size = queue_size
-        self.rounds_per_dispatch = rounds_per_dispatch
+        self.rounds_explicit = rounds_per_dispatch is not None
+        self.rounds_per_dispatch = rounds_per_dispatch or 8
         self.proposal_mode = proposal_mode
         self.pool = None
         self.mapper = map
@@ -440,7 +443,7 @@ class DynamicSampler:
                logl_kwargs=None, ptform_args=None, ptform_kwargs=None,
                enlarge=None, bootstrap=None, walks=None, facc=0.5,
                slices=None, ncdim=None, blob=False, likelihood_mode="jax",
-               rounds_per_dispatch=8, proposal_mode="batch",
+               rounds_per_dispatch=None, proposal_mode="batch",
                save_evaluation_history=False, history_filename=None):
         """Factory with the reference ``DynamicNestedSampler`` signature
         (``dynesty.py:691-774``)."""
@@ -621,6 +624,7 @@ class DynamicSampler:
                 bound_enlarge=self.bound_enlarge, blob=self.blob,
                 logvol_init=logvol_init,
                 rounds_per_dispatch=self.rounds_per_dispatch,
+                rounds_explicit=getattr(self, "rounds_explicit", False),
                 proposal_mode=getattr(self, "proposal_mode", "batch"))
             self.sampler.pool = self.pool
             self.sampler.use_pool = getattr(self, "use_pool", {})

@@ -211,7 +211,7 @@ class NestedSampler(Sampler):
                  ptform_args=None, ptform_kwargs=None, enlarge=None,
                  bootstrap=None, walks=None, facc=0.5, slices=None,
                  ncdim=None, blob=False, likelihood_mode="jax",
-                 mesh=None, rounds_per_dispatch=8,
+                 mesh=None, rounds_per_dispatch=None,
                  proposal_mode="batch",
                  save_evaluation_history=False, history_filename=None):
         cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
@@ -225,6 +225,10 @@ class NestedSampler(Sampler):
         live_points, logvol_init, init_ncalls = initialize_live_points(
             live_points, cfg["like"], nlive, ndim, cfg["rstate"], blob=blob)
 
+        # None = auto (8 rounds, with per-kernel caps); an explicit value
+        # also lifts the uniform-kernel chain cap (expensive-likelihood
+        # regime: dispatch amortization outweighs bound staleness)
+        rounds_explicit = rounds_per_dispatch is not None
         super().__init__(
             loglikelihood=cfg["like"],
             ndim=ndim,
@@ -242,7 +246,8 @@ class NestedSampler(Sampler):
             logvol_init=logvol_init,
             cite=cfg["cite"]("static"),
             mesh=mesh,
-            rounds_per_dispatch=rounds_per_dispatch,
+            rounds_per_dispatch=rounds_per_dispatch or 8,
+            rounds_explicit=rounds_explicit,
             proposal_mode=proposal_mode)
         self.ncall = init_ncalls
         self.pool = pool
@@ -260,7 +265,7 @@ def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
                          ptform_kwargs=None, enlarge=None, bootstrap=None,
                          walks=None, facc=0.5, slices=None, ncdim=None,
                          blob=False, likelihood_mode="jax",
-                         rounds_per_dispatch=8, proposal_mode="batch",
+                         rounds_per_dispatch=None, proposal_mode="batch",
                          save_evaluation_history=False,
                          history_filename=None):
     """Dynamic nested sampler factory with the reference's full kwarg

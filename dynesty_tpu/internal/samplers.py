@@ -487,7 +487,15 @@ class UniformBoundSampler(InternalSampler):
 
     def _max_rounds(self, ns, bound_kind):
         if bound_kind == "ellipsoids":
+            # device refits keep the fit fresh between host refits, so
+            # when the user explicitly sets rounds_per_dispatch
+            # (expensive-likelihood regime: dispatch amortization beats
+            # bound-structure staleness) honor it unclamped
+            if getattr(ns, "rounds_explicit", False):
+                return None
             return self.unif_max_chain
+        # friends/custom bounds take fresh host-side centers every
+        # dispatch — chaining would sample from stale geometry
         return 1
 
     def propose_round(self, nested_sampler, loglstar, q, key):

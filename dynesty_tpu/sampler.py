@@ -160,6 +160,7 @@ class Sampler:
                  dtype=None,
                  mesh=None,
                  rounds_per_dispatch=1,
+                 rounds_explicit=False,
                  proposal_mode="batch"):
         import jax.numpy as jnp
         import jax
@@ -265,6 +266,9 @@ class Sampler:
         # (amortizes fixed dispatch costs; bound refits and tuning then
         # happen every rounds_per_dispatch queue refills)
         self.rounds_per_dispatch = max(int(rounds_per_dispatch), 1)
+        # the user explicitly chose the chain depth: per-kernel caps
+        # (e.g. the uniform kernel's bound-staleness cap) defer to it
+        self.rounds_explicit = bool(rounds_explicit)
 
     def _apply_queue_clamp(self):
         """Effective per-round width.  Batch (death/refill) rounds kill

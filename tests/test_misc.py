@@ -249,9 +249,11 @@ def test_exception_context(capsys):
 
 
 def test_round_chaining_policy():
-    """Dispatch-chaining policy: uniform kernels never chain (their
-    rejection efficiency tracks bound freshness), MCMC kernels follow
-    rounds_per_dispatch, and the factories default to 8 chained rounds."""
+    """Dispatch-chaining policy: by default uniform kernels chain at most
+    unif_max_chain device-refit rounds (ellipsoid bounds; 1 otherwise),
+    MCMC kernels follow rounds_per_dispatch, the factories default to
+    auto (None -> 8), and an EXPLICIT rounds_per_dispatch lifts the unif
+    ellipsoid cap (expensive-likelihood regime)."""
     import inspect
 
     from dynesty_tpu.internal.samplers import (RSliceSampler, RWalkSampler,
@@ -260,11 +262,33 @@ def test_round_chaining_policy():
                                                UnitCubeSampler)
 
     assert UniformBoundSampler.max_rounds_per_dispatch == 1
+    assert UniformBoundSampler.unif_max_chain == 4
     assert UnitCubeSampler.max_rounds_per_dispatch == 1
     assert RWalkSampler.max_rounds_per_dispatch is None
     assert SliceSampler.max_rounds_per_dispatch is None
     assert RSliceSampler.max_rounds_per_dispatch is None
     sig = inspect.signature(dytpu.NestedSampler.__init__)
-    assert sig.parameters["rounds_per_dispatch"].default == 8
+    assert sig.parameters["rounds_per_dispatch"].default is None
     sig = inspect.signature(dytpu.DynamicNestedSampler)
-    assert sig.parameters["rounds_per_dispatch"].default == 8
+    assert sig.parameters["rounds_per_dispatch"].default is None
+
+    class _NS:
+        pass
+
+    us = UniformBoundSampler(ndim=2)
+    ns = _NS()
+    ns.rounds_explicit = False
+    assert us._max_rounds(ns, "ellipsoids") == 4
+    assert us._max_rounds(ns, "balls") == 1
+    ns.rounds_explicit = True
+    assert us._max_rounds(ns, "ellipsoids") is None
+    assert us._max_rounds(ns, "balls") == 1
+
+    # auto default resolves to 8 with rounds_explicit unset
+    loglike, ptform = _gau()
+    s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=50,
+                            rstate=get_rstate())
+    assert s.rounds_per_dispatch == 8 and not s.rounds_explicit
+    s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=50,
+                            rstate=get_rstate(), rounds_per_dispatch=12)
+    assert s.rounds_per_dispatch == 12 and s.rounds_explicit

@@ -75,6 +75,21 @@ def test_gaussian_grid(bound, sample):
     _check_result_gau(sampler.results)
 
 
+def test_deep_chained_unif():
+    # explicit rounds_per_dispatch lifts the uniform kernel's chain cap
+    # (expensive-likelihood dispatch amortization); the run must stay
+    # statistically correct with the bound structure aging 12 rounds
+    # between host refits
+    loglike, ptform = _make_gau()
+    rstate = get_rstate()
+    sampler = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=250,
+                                  bound="multi", sample="unif",
+                                  rstate=rstate, queue_size=64,
+                                  rounds_per_dispatch=12)
+    sampler.run_nested(print_progress=False)
+    _check_result_gau(sampler.results)
+
+
 def test_bootstrap():
     loglike, ptform = _make_gau()
     rstate = get_rstate()
