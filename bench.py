@@ -47,11 +47,11 @@ TRUTH = -NDIM * np.log(20.0)
 H_NDIM = 3
 H_NLIVE = 500
 H_WIDTH = 256  # matvec chain width
-H_LAYERS = 96  # chain depth; ~1.5 ms/call in numpy on one CPU core
+H_LAYERS = 384  # chain depth; ~6 ms/call in numpy on one CPU core
 H_TRUTH = -H_NDIM * np.log(20.0)  # 1e-6 tanh perturbation is negligible
-H_ROUNDS = 12  # explicit: lifts the unif chain cap (expensive likelihood)
-HEAVY_REF_SECONDS = 39.2  # reference dynesty, heavy 3-D, this host
-# (measured 2026-08-17: multi/unif nlive=500 with the depth-96 chain)
+H_ROUNDS = 24  # explicit: lifts the unif chain cap (expensive likelihood)
+HEAVY_REF_SECONDS = 104.3  # reference dynesty, heavy 3-D, this host
+# (measured 2026-08-17: multi/unif nlive=500 with the depth-384 chain)
 
 
 def _heavy_weights():

@@ -38,9 +38,16 @@ if not _os.environ.get("DYNESTY_TPU_NO_COMPILATION_CACHE"):
         import hashlib as _hashlib
         try:
             with open("/proc/cpuinfo") as _f:
-                _flags = next(_l for _l in _f if _l.startswith("flags"))
-            _salt = _hashlib.sha1(_flags.encode()).hexdigest()[:12]
-        except (OSError, StopIteration):
+                _id = "".join(
+                    _l for _l in _f
+                    if _l.startswith(("flags", "model name", "vendor_id")))
+                if not _id:
+                    raise OSError
+            # the model name matters beyond the flag list: LLVM picks
+            # per-µarch tuning features (e.g. prefer-no-scatter) that are
+            # baked into AOT artifacts but invisible in cpuinfo flags
+            _salt = _hashlib.sha1(_id.encode()).hexdigest()[:12]
+        except OSError:
             _salt = "generic"
         _jax.config.update(
             "jax_compilation_cache_dir",

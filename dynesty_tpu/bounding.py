@@ -610,8 +610,8 @@ def bounding_ellipsoid(points):
         raise ValueError("Cannot bound a single point with an ellipsoid.")
 
     ctr = points.mean(axis=0)
-    covar = np.atleast_2d(mle_cov(points))
     delta = points - ctr
+    covar = np.atleast_2d(delta.T @ delta / npoints)  # MLE (1/N) cov
     one_minus = 1.0 - 1e-3
 
     for attempt in range(2):

@@ -344,6 +344,13 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         # slices evaluations) does not grow with threshold depth.
         batch_sampler.queue_size_req = min(
             batch_sampler.queue_size_req, max(16, nlive_new // 8))
+        # narrow queues make dispatches short: chain deeper (the
+        # est-based rounds_active gate stops billed overshoot, so the
+        # extra compiled rounds only ever amortize dispatch latency)
+        if not getattr(batch_sampler, "rounds_explicit", False):
+            batch_sampler.unif_chain_cap = 16
+            batch_sampler.rounds_per_dispatch = max(
+                batch_sampler.rounds_per_dispatch, 16)
     batch_sampler._apply_queue_clamp()
     batch_sampler.live_u = live_u
     batch_sampler.live_v = live_v
@@ -875,64 +882,74 @@ class DynamicSampler:
         old_batch_nlive = self.saved_run["batch_nlive"]
         self.saved_run = RunRecord(dynamic=True)
 
-        idx_saved, idx_new = 0, 0
-        logl_s, logl_n = saved_d["logl"][0], new_d["logl"][0]
-        nlive_s, nlive_n = saved_d["n"][0], new_d["n"][0]
-        for _ in range(nsaved + nnew):
-            if logl_s > self.new_logl_min:
-                nlive = nlive_s + nlive_n
-            else:
-                nlive = nlive_s
-            add_info = {}
-            if logl_s <= logl_n:
-                add_info["batch"] = saved_d["batch"][idx_saved]
-                src, idx = saved_d, idx_saved
-                idx_saved += 1
-            else:
-                add_info["batch"] = self.batch + 1
-                src, idx = new_d, idx_new
-                idx_new += 1
-            for k in ("id", "u", "v", "logl", "nc", "boundidx", "it",
-                      "bounditer", "birth", "scale", "blob",
-                      "proposal_stats"):
-                add_info[k] = src[k][idx]
-            self.saved_run.append(add_info)
-            self.saved_run["n"].append(nlive)
-            if idx_saved < nsaved:
-                logl_s = saved_d["logl"][idx_saved]
-                nlive_s = saved_d["n"][idx_saved]
-            else:
-                logl_s, nlive_s = np.inf, 0
-            if idx_new < nnew:
-                logl_n = new_d["logl"][idx_new]
-                nlive_n = new_d["n"][idx_new]
-            else:
-                logl_n, nlive_n = np.inf, 0
+        # Vectorized two-pointer merge: both inputs are sorted by logl,
+        # so a stable argsort of the concatenation IS the merge order
+        # (ties keep saved-before-new, matching the reference's
+        # ``logl_s <= logl_n`` branch).
+        all_logl = np.concatenate([saved_d["logl"], new_d["logl"]])
+        order = np.argsort(all_logl, kind="stable")
+        src_is_new = order >= nsaved
+        # pointer positions BEFORE consuming step t (the loop reads the
+        # next-to-die entries of both runs to compute the merged nlive)
+        cons_saved = np.concatenate(
+            [[0], np.cumsum(~src_is_new)[:-1]]).astype(int)
+        cons_new = np.concatenate(
+            [[0], np.cumsum(src_is_new)[:-1]]).astype(int)
+        s_open = cons_saved < nsaved
+        n_open = cons_new < nnew
+        logl_s_t = np.where(
+            s_open, saved_d["logl"][np.minimum(cons_saved, nsaved - 1)],
+            np.inf)
+        nlive_s_t = np.where(
+            s_open, saved_d["n"][np.minimum(cons_saved, nsaved - 1)], 0)
+        nlive_n_t = np.where(
+            n_open, new_d["n"][np.minimum(cons_new, nnew - 1)], 0)
+        nlive_arr = np.where(logl_s_t > self.new_logl_min,
+                             nlive_s_t + nlive_n_t, nlive_s_t)
+        batch_col = np.where(
+            src_is_new, self.batch + 1,
+            saved_d["batch"][np.minimum(order, nsaved - 1)])
+        for k in ("id", "u", "v", "logl", "nc", "boundidx", "it",
+                  "bounditer", "birth", "scale", "blob",
+                  "proposal_stats"):
+            merged = np.concatenate([np.asarray(saved_d[k]),
+                                     np.asarray(new_d[k])], axis=0)[order]
+            self.saved_run[k].extend(list(merged))
+        self.saved_run["batch"].extend(list(batch_col))
+        self.saved_run["n"].extend(list(nlive_arr))
 
-        plateau_mode = False
-        plateau_counter = 0
-        plateau_logdvol = 0.0
-        logvol = self.sampler.logvol_init
         logl_array = np.array(self.saved_run["logl"])
         nlive_array = np.array(self.saved_run["n"])
-        for i, (cur_logl, nlive) in enumerate(zip(logl_array, nlive_array)):
-            if (not plateau_mode and i != len(nlive_array) - 1
-                    and logl_array[i] == logl_array[i + 1]):
-                nplateau = (logl_array[i:] == cur_logl).sum()
-                if nplateau > 1:
-                    plateau_counter = nplateau
-                    plateau_logdvol = logvol + np.log(1.0 / (nlive + 1))
-                    plateau_mode = True
-            if not plateau_mode:
-                logvol -= math.log((nlive + 1.0) / nlive)
-            else:
-                logvol = logvol + np.log1p(
-                    -np.exp(plateau_logdvol - logvol))
-            self.saved_run["logvol"].append(logvol)
-            if plateau_mode:
-                plateau_counter -= 1
-                if plateau_counter == 0:
-                    plateau_mode = False
+        logvol_init = self.sampler.logvol_init
+        if np.all(logl_array[1:] != logl_array[:-1]):
+            # no plateaus: the shrinkage recursion is a running sum
+            logvols = logvol_init - np.cumsum(
+                np.log((nlive_array + 1.0) / nlive_array))
+            self.saved_run["logvol"].extend(list(logvols))
+        else:
+            plateau_mode = False
+            plateau_counter = 0
+            plateau_logdvol = 0.0
+            logvol = logvol_init
+            for i, (cur_logl, nlive) in enumerate(zip(logl_array,
+                                                      nlive_array)):
+                if (not plateau_mode and i != len(nlive_array) - 1
+                        and logl_array[i] == logl_array[i + 1]):
+                    nplateau = (logl_array[i:] == cur_logl).sum()
+                    if nplateau > 1:
+                        plateau_counter = nplateau
+                        plateau_logdvol = logvol + np.log(1.0 / (nlive + 1))
+                        plateau_mode = True
+                if not plateau_mode:
+                    logvol -= math.log((nlive + 1.0) / nlive)
+                else:
+                    logvol = logvol + np.log1p(
+                        -np.exp(plateau_logdvol - logvol))
+                self.saved_run["logvol"].append(logvol)
+                if plateau_mode:
+                    plateau_counter -= 1
+                    if plateau_counter == 0:
+                        plateau_mode = False
 
         assert self.saved_run["logl"][0] == min(new_d["logl"][0],
                                                 saved_d["logl"][0])

@@ -483,7 +483,7 @@ class UniformBoundSampler(InternalSampler):
     # (ball/cube kernels re-centered on the live points) and custom
     # host-sampled bounds still run one round per dispatch.
     max_rounds_per_dispatch = 1
-    unif_max_chain = 4
+    unif_max_chain = 8
 
     def _max_rounds(self, ns, bound_kind):
         if bound_kind == "ellipsoids":
@@ -493,6 +493,12 @@ class UniformBoundSampler(InternalSampler):
             # bound-structure staleness) honor it unclamped
             if getattr(ns, "rounds_explicit", False):
                 return None
+            # dynamic-batch samplers run narrow bracketed queues where a
+            # deeper chain amortizes many short dispatches; the batch
+            # configurator raises this per-sampler override
+            cap = getattr(ns, "unif_chain_cap", None)
+            if cap is not None:
+                return cap
             return self.unif_max_chain
         # friends/custom bounds take fresh host-side centers every
         # dispatch — chaining would sample from stale geometry

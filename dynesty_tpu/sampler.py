@@ -379,7 +379,6 @@ class Sampler:
         ``bound_update_interval`` calls (checked at queue drains)."""
         if ncall is None:
             ncall = self.ncall
-        self._ensure_live_mirror()
         delta_bound = self.bound_update_interval
         call_check_first = ncall >= self.first_bound_update_ncall
         call_check = ncall >= delta_bound + self.ncall_at_last_update
@@ -390,6 +389,11 @@ class Sampler:
                 or (self.unit_cube_sampling
                     and self.logl_first_update is not None
                     and loglstar > self.logl_first_update) or force):
+            # the refit reads the host live mirrors; pull them from the
+            # device only when the trigger actually fires (a blocking
+            # device_get costs ~25 ms through the relay, and most
+            # round-boundary checks do not fire)
+            self._ensure_live_mirror()
             if loglstar == LOWL_VAL:
                 subset = self.live_logl > loglstar
             else:
@@ -943,7 +947,7 @@ class Sampler:
                         rounds_active = max(1, int(math.floor(
                             0.7 * min(est, 2**30) / self.queue_size)))
 
-                # round boundary: refit triggers (syncs live mirrors)
+                # round boundary: refit triggers
                 loglstar_round = max(loglstar, np.float64(LOWL_VAL))
                 self.update_bound_if_needed(loglstar_round,
                                             ncall=self.ncall)

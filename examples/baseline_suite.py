@@ -24,6 +24,14 @@ from dynesty_tpu.models import CorrelatedGaussian, Eggbox, GaussianShells
 
 SEED = 56432
 
+# module-level problem instances: the process-wide trace cache is keyed
+# by the likelihood callable, so sharing one instance across the warm-up
+# and the timed run (the steady-state usage pattern) keeps the timed
+# window trace-free
+_GAUSS3 = CorrelatedGaussian(ndim=3)
+_EGGBOX = Eggbox()
+_SHELLS = GaussianShells()
+
 
 def _report(name, elapsed, sampler, truth, extra=None):
     res = sampler.results
@@ -45,14 +53,16 @@ def _report(name, elapsed, sampler, truth, extra=None):
 
 
 def _warm(factory, **run_kw):
-    """One tiny run to move compilation out of the measured window."""
+    """A FULL warm run so every fused-program variant the measured run
+    hits (unit-cube, each padded-ellipsoid bucket, add_live sweep) is
+    compiled outside the timed window; traces and compiled programs are
+    shared process-wide."""
     s = factory(np.random.Generator(np.random.PCG64(1)))
-    s.run_nested(maxiter=300, print_progress=False, add_live=False,
-                 **run_kw)
+    s.run_nested(print_progress=False, **run_kw)
 
 
 def gauss3():
-    prob = CorrelatedGaussian(ndim=3)
+    prob = _GAUSS3
 
     def factory(rstate):
         return dytpu.NestedSampler(prob.loglike, prob.ptform, 3,
@@ -68,14 +78,14 @@ def gauss3():
 
 
 def eggbox():
-    prob = Eggbox()
+    prob = _EGGBOX
 
     def factory(rstate):
         return dytpu.NestedSampler(prob.loglike, prob.ptform, 2,
                                    nlive=1000, bound="multi", sample="unif",
                                    rstate=rstate, queue_size=256)
 
-    _warm(factory)
+    _warm(factory, dlogz=0.01)
     rstate = np.random.Generator(np.random.PCG64(SEED))
     t0 = time.time()
     s = factory(rstate)
@@ -84,7 +94,29 @@ def eggbox():
 
 
 def shells():
-    prob = GaussianShells()
+    """Published config (`demos/Examples -- Gaussian Shells.ipynb`
+    sampling loop): nlive=1000, multi/unif, dlogz=0.05.  Reference on
+    this host at this config: ncall 58,757, logz -1.896 +- 0.061
+    (-2.4 sigma from the -1.75 truth), 30.2 s."""
+    prob = _SHELLS
+
+    def factory(rstate):
+        return dytpu.NestedSampler(prob.loglike, prob.ptform, 2,
+                                   nlive=1000, bound="multi", sample="unif",
+                                   rstate=rstate, queue_size=256)
+
+    _warm(factory, dlogz=0.05)
+    rstate = np.random.Generator(np.random.PCG64(SEED))
+    t0 = time.time()
+    s = factory(rstate)
+    s.run_nested(dlogz=0.05, print_progress=False)
+    _report("shells_multi_unif", time.time() - t0, s, prob.logz_truth)
+
+
+def shells_default():
+    """Same problem at the default dlogz (~1.0): reference on this host
+    ncall 33,681, logz -1.895 +- 0.126, 6.6 s."""
+    prob = _SHELLS
 
     def factory(rstate):
         return dytpu.NestedSampler(prob.loglike, prob.ptform, 2,
@@ -95,12 +127,12 @@ def shells():
     rstate = np.random.Generator(np.random.PCG64(SEED))
     t0 = time.time()
     s = factory(rstate)
-    s.run_nested(dlogz=0.1, print_progress=False)
-    _report("shells_multi_unif", time.time() - t0, s, prob.logz_truth)
+    s.run_nested(print_progress=False)
+    _report("shells_default_dlogz", time.time() - t0, s, prob.logz_truth)
 
 
 def _dynamic3_once(seed, name="dynamic3_multi_unif"):
-    prob = CorrelatedGaussian(ndim=3)
+    prob = _GAUSS3
     rstate = np.random.Generator(np.random.PCG64(seed))
     t0 = time.time()
     s = dytpu.DynamicNestedSampler(prob.loglike, prob.ptform, 3,
@@ -114,13 +146,13 @@ def _dynamic3_once(seed, name="dynamic3_multi_unif"):
 
 
 def dynamic3():
-    prob = CorrelatedGaussian(ndim=3)
+    prob = _GAUSS3
     warm = dytpu.DynamicNestedSampler(prob.loglike, prob.ptform, 3,
                                       bound="multi", sample="unif",
                                       rstate=np.random.Generator(
                                           np.random.PCG64(1)),
                                       queue_size=256)
-    warm.run_nested(maxiter=600, maxbatch=1, print_progress=False)
+    warm.run_nested(print_progress=False)
     _dynamic3_once(SEED)
 
 
@@ -138,6 +170,7 @@ def dynamic3_sweep():
 
 
 ROWS = {"gauss3": gauss3, "eggbox": eggbox, "shells": shells,
+        "shells_default": shells_default,
         "dynamic3": dynamic3, "dynamic3_sweep": dynamic3_sweep}
 
 

@@ -262,7 +262,7 @@ def test_round_chaining_policy():
                                                UnitCubeSampler)
 
     assert UniformBoundSampler.max_rounds_per_dispatch == 1
-    assert UniformBoundSampler.unif_max_chain == 4
+    assert UniformBoundSampler.unif_max_chain == 8
     assert UnitCubeSampler.max_rounds_per_dispatch == 1
     assert RWalkSampler.max_rounds_per_dispatch is None
     assert SliceSampler.max_rounds_per_dispatch is None
@@ -278,8 +278,11 @@ def test_round_chaining_policy():
     us = UniformBoundSampler(ndim=2)
     ns = _NS()
     ns.rounds_explicit = False
-    assert us._max_rounds(ns, "ellipsoids") == 4
+    assert us._max_rounds(ns, "ellipsoids") == 8
     assert us._max_rounds(ns, "balls") == 1
+    ns.unif_chain_cap = 16  # the dynamic batch configurator's override
+    assert us._max_rounds(ns, "ellipsoids") == 16
+    del ns.unif_chain_cap
     ns.rounds_explicit = True
     assert us._max_rounds(ns, "ellipsoids") is None
     assert us._max_rounds(ns, "balls") == 1
