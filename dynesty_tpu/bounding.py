@@ -26,7 +26,6 @@ from .ops.geometry import (
     apply_reflect as _apply_reflect,  # noqa: F401 (re-export convenience)
     improve_covar_mat,
     logvol_prefactor,
-    mle_cov,
     rand_choice,
     randsphere,
     unitcheck,

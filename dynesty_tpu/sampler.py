@@ -524,30 +524,6 @@ class Sampler:
                 ]
             self._mirror_stale = False
 
-    def _check_live_in_bound(self):
-        """Force a refit when live points escaped the bound (the fused
-        analogue of per-start containment checks,
-        reference ``sampler.py:483-491``)."""
-        if self.unit_cube_sampling:
-            return
-        if self.bound.need_centers:
-            self.bound.ctrs = self.live_u
-        if hasattr(self.bound, "contains_many"):
-            escaped = not self.bound.contains_many(
-                self.live_u[:, :self.ncdim]).all()
-        else:
-            escaped = any(
-                not self.bound.contains(u[:self.ncdim])
-                for u in self.live_u)
-        if escaped:
-            self.update_bound_if_needed(-np.inf, force=True)
-            if self.bound.need_centers:
-                self.bound.ctrs = self.live_u
-            still = any(not self.bound.contains(u[:self.ncdim])
-                        for u in self.live_u)
-            if still:
-                raise RuntimeError("Update of the bound failed")
-
     # ------------------------------------------------------------------
     # proposal queue
 

@@ -93,6 +93,33 @@ def eggbox():
     _report("eggbox_multi_unif", time.time() - t0, s, prob.logz_truth)
 
 
+def eggbox_sweep():
+    """6-seed pull sweep of the eggbox row (single-seed pulls on this
+    multimodal problem scatter widely; the sweep is the calibration
+    evidence)."""
+    prob = _EGGBOX
+
+    def factory(rstate):
+        return dytpu.NestedSampler(prob.loglike, prob.ptform, 2,
+                                   nlive=1000, bound="multi", sample="unif",
+                                   rstate=rstate, queue_size=256)
+
+    _warm(factory, dlogz=0.01)
+    pulls = []
+    for seed in (SEED, 1001, 1002, 1003, 1004, 1005):
+        rstate = np.random.Generator(np.random.PCG64(seed))
+        t0 = time.time()
+        s = factory(rstate)
+        s.run_nested(dlogz=0.01, print_progress=False)
+        rec = _report("eggbox_sweep", time.time() - t0, s, prob.logz_truth,
+                      extra={"seed": seed})
+        pulls.append(rec["pull"])
+    print(json.dumps({"row": "eggbox_sweep_summary", "pulls": pulls,
+                      "mean": round(float(np.mean(pulls)), 2),
+                      "scatter": round(float(np.std(pulls)), 2)}),
+          flush=True)
+
+
 def shells():
     """Published config (`demos/Examples -- Gaussian Shells.ipynb`
     sampling loop): nlive=1000, multi/unif, dlogz=0.05.  Reference on
@@ -169,8 +196,8 @@ def dynamic3_sweep():
           flush=True)
 
 
-ROWS = {"gauss3": gauss3, "eggbox": eggbox, "shells": shells,
-        "shells_default": shells_default,
+ROWS = {"gauss3": gauss3, "eggbox": eggbox, "eggbox_sweep": eggbox_sweep,
+        "shells": shells, "shells_default": shells_default,
         "dynamic3": dynamic3, "dynamic3_sweep": dynamic3_sweep}
 
 
