@@ -215,7 +215,8 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         rounds_per_dispatch=getattr(main_sampler, "rounds_per_dispatch",
                                     1),
         rounds_explicit=getattr(main_sampler, "rounds_explicit", False),
-        proposal_mode=getattr(main_sampler, "proposal_mode", "batch"))
+        proposal_mode=getattr(main_sampler, "proposal_mode", "batch"),
+        dtype=getattr(main_sampler, "dtype", None))
     batch_sampler.save_bounds = save_bounds
     batch_sampler.pool = main_sampler.pool
     batch_sampler.use_pool = getattr(main_sampler, "use_pool", {})
@@ -399,7 +400,7 @@ class DynamicSampler:
                  bound_update_interval_ratio=None, first_bound_update=None,
                  bound_bootstrap=0, bound_enlarge=1.0, blob=False,
                  cite=None, rounds_per_dispatch=None,
-                 proposal_mode="batch"):
+                 proposal_mode="batch", dtype=None):
         self.loglikelihood = loglikelihood
         self.ndim = ndim
         self.ncdim = ncdim or ndim
@@ -417,6 +418,7 @@ class DynamicSampler:
         self.rounds_explicit = rounds_per_dispatch is not None
         self.rounds_per_dispatch = rounds_per_dispatch or 8
         self.proposal_mode = proposal_mode
+        self.dtype = dtype
         self.pool = None
         self.mapper = map
         self.use_pool = {}
@@ -451,7 +453,8 @@ class DynamicSampler:
                enlarge=None, bootstrap=None, walks=None, facc=0.5,
                slices=None, ncdim=None, blob=False, likelihood_mode="jax",
                rounds_per_dispatch=None, proposal_mode="batch",
-               save_evaluation_history=False, history_filename=None):
+               dtype=None, save_evaluation_history=False,
+               history_filename=None):
         """Factory with the reference ``DynamicNestedSampler`` signature
         (``dynesty.py:691-774``)."""
         from .dynesty import _common_init
@@ -473,7 +476,7 @@ class DynamicSampler:
                   bound_enlarge=cfg["enlarge"], blob=blob,
                   cite=cfg["cite"]("dynamic"),
                   rounds_per_dispatch=rounds_per_dispatch,
-                  proposal_mode=proposal_mode)
+                  proposal_mode=proposal_mode, dtype=dtype)
         obj.pool = pool
         obj.use_pool = cfg["use_pool"]
         if pool is not None:
@@ -632,7 +635,8 @@ class DynamicSampler:
                 logvol_init=logvol_init,
                 rounds_per_dispatch=self.rounds_per_dispatch,
                 rounds_explicit=getattr(self, "rounds_explicit", False),
-                proposal_mode=getattr(self, "proposal_mode", "batch"))
+                proposal_mode=getattr(self, "proposal_mode", "batch"),
+                dtype=getattr(self, "dtype", None))
             self.sampler.pool = self.pool
             self.sampler.use_pool = getattr(self, "use_pool", {})
             self.bound_list = self.sampler.bound_list

@@ -212,7 +212,7 @@ class NestedSampler(Sampler):
                  bootstrap=None, walks=None, facc=0.5, slices=None,
                  ncdim=None, blob=False, likelihood_mode="jax",
                  mesh=None, rounds_per_dispatch=None,
-                 proposal_mode="batch",
+                 proposal_mode="batch", dtype=None,
                  save_evaluation_history=False, history_filename=None):
         cfg = _common_init(loglikelihood, prior_transform, ndim, nlive,
                            bound, sample, periodic, reflective, walks, facc,
@@ -245,6 +245,7 @@ class NestedSampler(Sampler):
             blob=blob,
             logvol_init=logvol_init,
             cite=cfg["cite"]("static"),
+            dtype=dtype,
             mesh=mesh,
             rounds_per_dispatch=rounds_per_dispatch or 8,
             rounds_explicit=rounds_explicit,
@@ -266,7 +267,7 @@ def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
                          walks=None, facc=0.5, slices=None, ncdim=None,
                          blob=False, likelihood_mode="jax",
                          rounds_per_dispatch=None, proposal_mode="batch",
-                         save_evaluation_history=False,
+                         dtype=None, save_evaluation_history=False,
                          history_filename=None):
     """Dynamic nested sampler factory with the reference's full kwarg
     surface (``dynesty.py:691-774``; the implementation lives in
@@ -284,7 +285,7 @@ def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
         slices=slices, ncdim=ncdim, blob=blob,
         likelihood_mode=likelihood_mode,
         rounds_per_dispatch=rounds_per_dispatch,
-        proposal_mode=proposal_mode,
+        proposal_mode=proposal_mode, dtype=dtype,
         save_evaluation_history=save_evaluation_history,
         history_filename=history_filename)
 

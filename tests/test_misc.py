@@ -295,3 +295,23 @@ def test_round_chaining_policy():
     s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=50,
                             rstate=get_rstate(), rounds_per_dispatch=12)
     assert s.rounds_per_dispatch == 12 and s.rounds_explicit
+
+
+def test_dtype_kwarg():
+    """``dtype=`` forces the device-kernel precision through both
+    factories (the integrator is always host float64)."""
+    import jax.numpy as jnp
+
+    loglike, ptform = _gau()
+    s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=50,
+                            rstate=get_rstate(), dtype=jnp.float32)
+    assert s.dtype == jnp.float32
+    s.run_nested(maxiter=120, print_progress=False)
+    assert np.isfinite(s.results.logz[-1])
+
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                     rstate=get_rstate(),
+                                     dtype=jnp.float32)
+    dns.run_nested(nlive_init=50, maxbatch=1, print_progress=False)
+    assert dns.sampler.dtype == jnp.float32
+    assert np.isfinite(dns.results.logz[-1])
