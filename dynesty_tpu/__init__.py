@@ -64,16 +64,22 @@ from . import ops
 from . import pool
 from . import plotting
 from . import models
+from . import results
+from . import internal_samplers
+from . import dynamicsampler
 
 __all__ = [
     "NestedSampler",
     "DynamicNestedSampler",
     "bounding",
     "internal",
+    "internal_samplers",
     "utils",
     "ops",
     "pool",
     "plotting",
     "models",
+    "results",
+    "dynamicsampler",
     "__version__",
 ]

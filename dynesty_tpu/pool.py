@@ -28,8 +28,8 @@ class FunctionCache:
     ptform_kwargs = {}
 
 
-def _initializer(loglike, prior_transform, logl_args, logl_kwargs,
-                 ptform_args, ptform_kwargs):
+def initializer(loglike, prior_transform, logl_args, logl_kwargs,
+                ptform_args, ptform_kwargs):
     FunctionCache.loglike = loglike
     FunctionCache.prior_transform = prior_transform
     FunctionCache.logl_args = logl_args
@@ -77,10 +77,10 @@ class Pool:
         ctx = mp.get_context("spawn")
         initargs = (self.loglike_0, self.prior_transform_0, self.logl_args,
                     self.logl_kwargs, self.ptform_args, self.ptform_kwargs)
-        self.pool = ctx.Pool(self.njobs, initializer=_initializer,
+        self.pool = ctx.Pool(self.njobs, initializer=initializer,
                              initargs=initargs)
         # warm the local process cache too, so map fallbacks work
-        _initializer(*initargs)
+        initializer(*initargs)
         return self
 
     def map(self, func, iterable):

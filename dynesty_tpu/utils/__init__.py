@@ -11,8 +11,15 @@ from .misc import (
     resample_equal,
     DelayTimer,
     IteratorResult,
+    IteratorResultShort,
     print_fn,
+    print_fn_fallback,
+    print_fn_tqdm,
+    get_print_fn_args,
+    PrintFnArgs,
     get_print_func,
+    SQRTEPS,
+    SamplerHistoryItem,
 )
 from .runs import (
     jitter_run,

@@ -17,14 +17,34 @@ import numpy as np
 __all__ = [
     "get_random_generator", "get_seed_sequence", "get_jax_key",
     "mean_and_cov", "quantile", "resample_equal", "DelayTimer",
-    "IteratorResult", "print_fn", "get_print_func",
+    "IteratorResult", "IteratorResultShort", "print_fn", "get_print_func",
+    "PrintFnArgs", "get_print_fn_args", "print_fn_fallback",
+    "print_fn_tqdm", "SQRTEPS", "SamplerHistoryItem",
 ]
+
+# machine-precision tolerance used by weight normalization checks
+# (reference ``utils.py:41``)
+SQRTEPS = float(np.sqrt(np.finfo(np.float64).eps))
+
+# one recorded likelihood evaluation (reference ``utils.py:24``); our
+# HDF5 history stores columnar arrays, but the namedtuple is part of the
+# public surface for custom history consumers
+SamplerHistoryItem = namedtuple("SamplerHistoryItem", ["u", "v", "logl"])
 
 IteratorResult = namedtuple("IteratorResult", [
     "worst", "ustar", "vstar", "loglstar", "logvol", "logwt", "logz",
     "logzvar", "h", "nc", "blob", "worst_it", "boundidx", "bounditer",
     "eff", "delta_logz", "proposal_stats", "n", "birth"
 ], defaults=[None, None])
+
+# reduced record yielded by dynamic batch sampling, where the global
+# evidence fields are not updated per-iteration (reference
+# ``utils.py:49-52``); carries logz/logzvar defaults so the print tier
+# builder can consume either record type
+IteratorResultShort = namedtuple("IteratorResultShort", [
+    "worst", "ustar", "vstar", "loglstar", "nc", "worst_it", "boundidx",
+    "bounditer", "eff", "delta_logz", "proposal_stats", "logz", "logzvar"
+], defaults=[-np.inf, 0.0])
 
 # coarse-grained yield of Sampler.sample(per_dispatch=True): one fused
 # device dispatch worth of iterations (n accepted records, nc likelihood
@@ -274,14 +294,109 @@ class _FallbackPrinter:
         pass
 
 
-def print_fn(results, niter, ncall, **kwargs):
-    """Stateless progress line (no ETA) for users passing ``print_func=``
-    directly; the default fallback path uses a per-run
-    :class:`_FallbackPrinter` which also shows an ETA."""
-    line = _format_status(results, niter, ncall, **kwargs)
+# three-tier status strings for width-adaptive printing (reference
+# ``utils.py:376-378, 575-651``): long has every field, short compresses
+# the numeric formats, mid is short plus the stopping-criterion tail
+PrintFnArgs = namedtuple("PrintFnArgs",
+                         ["niter", "short_str", "mid_str", "long_str"])
+
+
+def get_print_fn_args(itresult, niter, ncall, add_live_it=None, dlogz=None,
+                      stop_val=None, nbatch=None, logl_min=-np.inf,
+                      logl_max=np.inf):
+    """Preformatted status-string tiers from one iterator record
+    (:class:`IteratorResult` or :class:`IteratorResultShort`); reference
+    ``utils.py:575-651``."""
+    loglstar = itresult.loglstar if itresult.loglstar > -1e6 else -np.inf
+    logz = itresult.logz if itresult.logz > -1e6 else -np.inf
+    delta_logz = min(itresult.delta_logz, 1e10)
+    logzvar = itresult.logzvar
+    logzerr = np.sqrt(logzvar) if 0.0 <= logzvar <= 1e6 else np.nan
+
+    prefix = [] if add_live_it is None else [f"+{add_live_it:d}"]
+    long_str = list(prefix)
+    short_str = list(prefix)
+    if nbatch is not None:
+        long_str.append(f"batch: {nbatch:d}")
+    long_str += [f"bound: {itresult.bounditer:d}", f"nc: {itresult.nc:d}",
+                 f"ncall: {ncall:d}"]
+    eff = f"eff(%): {itresult.eff:6.3f}"
+    long_str.append(eff)
+    short_str.append(eff)
+
+    bracket = np.isfinite(logl_min) or np.isfinite(logl_max)
+    if bracket:
+        lo = f"{logl_min:6.3f} < " if np.isfinite(logl_min) else ""
+        hi = f" < {logl_max:6.3f}" if np.isfinite(logl_max) else ""
+        long_str.append(f"loglstar: {lo}{loglstar:6.3f}{hi}")
+        lo = f"{logl_min:6.1f}<" if np.isfinite(logl_min) else ""
+        hi = f"<{logl_max:6.1f}" if np.isfinite(logl_max) else ""
+        short_str.append(f"logl*: {lo}{loglstar:6.1f}{hi}")
+    else:
+        long_str.append(f"loglstar: {loglstar:6.3f}")
+        short_str.append(f"logl*: {loglstar:6.1f}")
+
+    err_l = "" if np.isnan(logzerr) else f" +/- {logzerr:6.3f}"
+    err_s = "" if np.isnan(logzerr) else f"+/-{logzerr:.1f}"
+    long_str.append(f"logz: {logz:6.3f}{err_l}")
+    short_str.append(f"logz: {logz:6.1f}{err_s}")
+
+    # dynamic batches (nbatch > 0 with a stop value) report the stopping
+    # diagnostic instead of the base run's dlogz margin
+    if dlogz is not None and (nbatch in (None, 0) or stop_val is None):
+        long_str.append(f"dlogz: {delta_logz:6.3f} > {dlogz:6.3f}")
+        mid_str = short_str + [f"dlogz: {delta_logz:6.1f}>{dlogz:6.1f}"]
+    else:
+        tail = f"stop: {stop_val:6.3f}"
+        long_str.append(tail)
+        mid_str = short_str + [tail]
+
+    return PrintFnArgs(niter=niter, short_str=short_str, mid_str=mid_str,
+                       long_str=long_str)
+
+
+def print_fn_fallback(itresult, niter, ncall, add_live_it=None, dlogz=None,
+                      stop_val=None, nbatch=None, logl_min=-np.inf,
+                      logl_max=np.inf):
+    """Carriage-return stderr status line, dropping to the mid/short
+    tiers when the terminal is too narrow for the long one (reference
+    ``utils.py:689-731``)."""
+    args = get_print_fn_args(itresult, niter, ncall,
+                             add_live_it=add_live_it, dlogz=dlogz,
+                             stop_val=stop_val, nbatch=nbatch,
+                             logl_min=logl_min, logl_max=logl_max)
+    tiers = [" | ".join([f"iter: {args.niter:d}"] + args.long_str),
+             " | ".join([f"i: {args.niter:d}"] + args.mid_str),
+             "|".join([f"i:{args.niter:d}"] + args.short_str)]
     width = _terminal_width() - 1
-    sys.stderr.write("\r" + line[:width].ljust(min(width, 120)))
+    line = next((t for t in tiers if len(t) <= width), tiers[-1][:width])
+    sys.stderr.write("\r" + line.ljust(min(width, 120)))
     sys.stderr.flush()
+
+
+def print_fn_tqdm(pbar, itresult, niter, ncall, add_live_it=None,
+                  dlogz=None, stop_val=None, nbatch=None, logl_min=-np.inf,
+                  logl_max=np.inf):
+    """Status printing through a tqdm progress bar (reference
+    ``utils.py:654-686``)."""
+    args = get_print_fn_args(itresult, niter, ncall,
+                             add_live_it=add_live_it, dlogz=dlogz,
+                             stop_val=stop_val, nbatch=nbatch,
+                             logl_min=logl_min, logl_max=logl_max)
+    pbar.set_postfix_str(" | ".join(args.long_str), refresh=False)
+    pbar.update(args.niter - pbar.n)
+
+
+def print_fn(results, niter, ncall, pbar=None, **kwargs):
+    """Stateless default progress printer for users passing
+    ``print_func=`` directly (reference ``utils.py:502-572``): tqdm when
+    a ``pbar`` is supplied, width-adaptive stderr line otherwise.  The
+    default internal path instead uses a per-run printer with an ETA
+    estimate (:func:`get_print_func`)."""
+    if pbar is not None:
+        print_fn_tqdm(pbar, results, niter, ncall, **kwargs)
+    else:
+        print_fn_fallback(results, niter, ncall, **kwargs)
 
 
 class _TqdmPrinter:

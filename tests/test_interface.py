@@ -177,3 +177,53 @@ def test_custom_print_func():
     sampler.run_nested(print_progress=True, print_func=my_print,
                        maxiter=100)
     assert len(calls) > 0
+
+
+def test_namespace_parity():
+    """Reference users import these names exactly as spelled here
+    (reference ``dynesty/__init__.py``, ``utils.py:24-52,376``,
+    ``results.py``, ``internal_samplers.py:33``, ``pool.py:20``)."""
+    from dynesty_tpu.results import Results, print_fn  # noqa: F401
+    from dynesty_tpu.internal_samplers import (  # noqa: F401
+        INTERNAL_SAMPLER_LIST, InternalSampler, UnitCubeSampler,
+        UniformBoundSampler, RWalkSampler, SliceSampler, RSliceSampler)
+    from dynesty_tpu.pool import initializer  # noqa: F401
+    from dynesty_tpu.utils import (  # noqa: F401
+        SQRTEPS, SamplerHistoryItem, IteratorResult, IteratorResultShort,
+        PrintFnArgs, get_print_fn_args, print_fn_fallback, print_fn_tqdm)
+    assert INTERNAL_SAMPLER_LIST == ["rwalk", "unif", "rslice", "slice"]
+    assert 0 < SQRTEPS < 1e-7
+    assert dytpu.results is not None and dytpu.dynamicsampler is not None
+
+
+def test_print_fn_tiers():
+    """get_print_fn_args builds the three width tiers; the dynamic-batch
+    form reports the stop value instead of dlogz (reference
+    ``utils.py:575-651``)."""
+    from dynesty_tpu.utils import IteratorResultShort, get_print_fn_args
+
+    it = IteratorResultShort(worst=0, ustar=None, vstar=None,
+                             loglstar=-1.0, nc=3, worst_it=1, boundidx=0,
+                             bounditer=2, eff=12.5, delta_logz=4.0,
+                             proposal_stats=None)
+    base = get_print_fn_args(it, 10, 100, dlogz=0.1)
+    assert base.niter == 10
+    assert any(s.startswith("dlogz:") for s in base.long_str)
+    assert len(" | ".join(base.long_str)) > len("|".join(base.short_str))
+    batch = get_print_fn_args(it, 10, 100, dlogz=0.1, stop_val=1.5,
+                              nbatch=2, logl_min=-3.0, logl_max=2.0)
+    assert any(s.startswith("stop:") for s in batch.long_str)
+    assert any(s.startswith("stop:") for s in batch.mid_str)
+    assert any("<" in s for s in batch.short_str)
+
+
+def test_print_fn_fallback_writes(capsys):
+    from dynesty_tpu.utils import IteratorResultShort, print_fn_fallback
+
+    it = IteratorResultShort(worst=0, ustar=None, vstar=None,
+                             loglstar=-1.0, nc=3, worst_it=1, boundidx=0,
+                             bounditer=2, eff=12.5, delta_logz=4.0,
+                             proposal_stats=None)
+    print_fn_fallback(it, 42, 420, dlogz=0.1)
+    err = capsys.readouterr().err
+    assert "42" in err and "eff(%)" in err
