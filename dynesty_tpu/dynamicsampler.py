@@ -13,7 +13,6 @@ import copy
 import math
 import sys
 import warnings
-from collections import namedtuple
 from enum import Enum
 
 import numpy as np
@@ -21,8 +20,8 @@ import numpy as np
 from .ops.integrals import compute_integrals, get_neff_from_logwt
 from .sampler import Sampler, initialize_live_points
 from .utils.checkpoint import restore_sampler, save_sampler
-from .utils.misc import (DelayTimer, IteratorResult, get_print_func,
-                         get_seed_sequence)
+from .utils.misc import (DelayTimer, IteratorResult, IteratorResultShort,
+                         get_print_func, get_seed_sequence)
 from .utils.results import Results, RunRecord
 from .utils.runs import _kld_error
 
@@ -30,12 +29,6 @@ __all__ = [
     "DynamicSampler", "weight_function", "stopping_function",
     "compute_weights",
 ]
-
-IteratorResultShort = namedtuple("IteratorResultShort", [
-    "worst", "ustar", "vstar", "loglstar", "nc", "worst_it", "boundidx",
-    "bounditer", "eff", "delta_logz", "proposal_stats"
-])
-
 
 class DynamicSamplerStatesEnum(Enum):
     INIT = 1
@@ -216,7 +209,8 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
                                     1),
         rounds_explicit=getattr(main_sampler, "rounds_explicit", False),
         proposal_mode=getattr(main_sampler, "proposal_mode", "batch"),
-        dtype=getattr(main_sampler, "dtype", None))
+        dtype=getattr(main_sampler, "dtype", None),
+        mesh=getattr(main_sampler, "mesh", None))
     batch_sampler.save_bounds = save_bounds
     batch_sampler.pool = main_sampler.pool
     batch_sampler.use_pool = getattr(main_sampler, "use_pool", {})
@@ -296,8 +290,14 @@ def _configure_batch_sampler(main_sampler, nlive_new, update_interval,
         # a proposal round returns satisfies logl > logl_min, so one
         # full-width fill is consumed completely — no stranded (billed)
         # leftovers, and the whole seeding runs as a single device
-        # dispatch instead of nlive_new/queue_size round trips
-        batch_sampler.queue_size = nlive_new
+        # dispatch instead of nlive_new/queue_size round trips (rounded
+        # up to the mesh size when the lane axis is sharded; the few
+        # stranded rows are billed exactly by the drain below)
+        qseed = nlive_new
+        mesh = getattr(main_sampler, "mesh", None)
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            qseed = -(-qseed // mesh.size) * mesh.size
+        batch_sampler.queue_size = qseed
         live_u = np.empty((nlive_new, main_sampler.ndim))
         live_v = np.empty((nlive_new, saved_v.shape[1]))
         live_logl = np.empty(nlive_new)
@@ -400,7 +400,7 @@ class DynamicSampler:
                  bound_update_interval_ratio=None, first_bound_update=None,
                  bound_bootstrap=0, bound_enlarge=1.0, blob=False,
                  cite=None, rounds_per_dispatch=None,
-                 proposal_mode="batch", dtype=None):
+                 proposal_mode="batch", dtype=None, mesh=None):
         self.loglikelihood = loglikelihood
         self.ndim = ndim
         self.ncdim = ncdim or ndim
@@ -419,6 +419,9 @@ class DynamicSampler:
         self.rounds_per_dispatch = rounds_per_dispatch or 8
         self.proposal_mode = proposal_mode
         self.dtype = dtype
+        # optional jax.sharding.Mesh, handed to every inner Sampler (the
+        # base run and each batch); session-scoped — dropped on pickle
+        self.mesh = mesh
         self.pool = None
         self.mapper = map
         self.use_pool = {}
@@ -453,7 +456,7 @@ class DynamicSampler:
                enlarge=None, bootstrap=None, walks=None, facc=0.5,
                slices=None, ncdim=None, blob=False, likelihood_mode="jax",
                rounds_per_dispatch=None, proposal_mode="batch",
-               dtype=None, save_evaluation_history=False,
+               dtype=None, mesh=None, save_evaluation_history=False,
                history_filename=None):
         """Factory with the reference ``DynamicNestedSampler`` signature
         (``dynesty.py:691-774``)."""
@@ -476,7 +479,7 @@ class DynamicSampler:
                   bound_enlarge=cfg["enlarge"], blob=blob,
                   cite=cfg["cite"]("dynamic"),
                   rounds_per_dispatch=rounds_per_dispatch,
-                  proposal_mode=proposal_mode, dtype=dtype)
+                  proposal_mode=proposal_mode, dtype=dtype, mesh=mesh)
         obj.pool = pool
         obj.use_pool = cfg["use_pool"]
         if pool is not None:
@@ -489,10 +492,13 @@ class DynamicSampler:
         self.__dict__ = state
         self.pool = None
         self.mapper = map
+        self.mesh = None
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        for k in ("pool", "mapper"):
+        # pool and mesh hold process-local handles (workers, devices):
+        # both are rebound (or dropped) on restore
+        for k in ("pool", "mapper", "mesh"):
             state.pop(k, None)
         return state
 
@@ -524,7 +530,11 @@ class DynamicSampler:
             first_bound_update=self.first_bound_update,
             bound_bootstrap=self.bound_bootstrap,
             bound_enlarge=self.bound_enlarge, blob=self.blob,
-            cite=self.cite)
+            cite=self.cite,
+            rounds_per_dispatch=(self.rounds_per_dispatch
+                                 if self.rounds_explicit else None),
+            proposal_mode=self.proposal_mode, dtype=self.dtype,
+            mesh=self.mesh)
 
     @property
     def results(self):
@@ -636,7 +646,8 @@ class DynamicSampler:
                 rounds_per_dispatch=self.rounds_per_dispatch,
                 rounds_explicit=getattr(self, "rounds_explicit", False),
                 proposal_mode=getattr(self, "proposal_mode", "batch"),
-                dtype=getattr(self, "dtype", None))
+                dtype=getattr(self, "dtype", None),
+                mesh=getattr(self, "mesh", None))
             self.sampler.pool = self.pool
             self.sampler.use_pool = getattr(self, "use_pool", {})
             self.bound_list = self.sampler.bound_list

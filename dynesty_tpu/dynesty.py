@@ -267,7 +267,8 @@ def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
                          walks=None, facc=0.5, slices=None, ncdim=None,
                          blob=False, likelihood_mode="jax",
                          rounds_per_dispatch=None, proposal_mode="batch",
-                         dtype=None, save_evaluation_history=False,
+                         dtype=None, mesh=None,
+                         save_evaluation_history=False,
                          history_filename=None):
     """Dynamic nested sampler factory with the reference's full kwarg
     surface (``dynesty.py:691-774``; the implementation lives in
@@ -285,7 +286,7 @@ def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
         slices=slices, ncdim=ncdim, blob=blob,
         likelihood_mode=likelihood_mode,
         rounds_per_dispatch=rounds_per_dispatch,
-        proposal_mode=proposal_mode, dtype=dtype,
+        proposal_mode=proposal_mode, dtype=dtype, mesh=mesh,
         save_evaluation_history=save_evaluation_history,
         history_filename=history_filename)
 

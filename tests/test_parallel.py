@@ -201,3 +201,31 @@ def test_scaling_report():
         assert r["partitioned"]
         assert np.isfinite(r["evals_per_s"]) and r["evals_per_s"] > 0
     assert rep[0]["speedup"] == 1.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_dynamic_equivalence():
+    """The dynamic layer hands the mesh to the base run AND every batch
+    sampler; an 8-device dynamic run must reproduce the 1-device run
+    (reference analogue: the pool drives dynamic runs identically,
+    tests/test_pool.py + test_dyn.py)."""
+    loglike, ptform = _gau()
+    results = {}
+    for m in (make_mesh(8), None):
+        rstate = get_rstate()
+        sampler = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                             bound="multi", sample="unif",
+                                             rstate=rstate, queue_size=64,
+                                             mesh=m)
+        # widths chosen so every queue clamp lands on a multiple of the
+        # mesh size: the sharded run then consumes the identical RNG
+        # stream and the comparison below can be (near-)exact
+        sampler.run_nested(print_progress=False, nlive_init=160,
+                           nlive_batch=64, maxbatch=2,
+                           dlogz_init=1.0)
+        results["mesh" if m else "single"] = sampler.results
+    rm, rs = results["mesh"], results["single"]
+    assert len(rm.logl) == len(rs.logl)
+    assert np.allclose(rm.logl, rs.logl, rtol=1e-10)
+    assert np.allclose(rm.logz[-1], rs.logz[-1], rtol=1e-8)
+    assert int(np.sum(rm.ncall)) == int(np.sum(rs.ncall))
