@@ -506,8 +506,8 @@ class DynamicSampler:
         save_sampler(self, fname)
 
     @staticmethod
-    def restore(fname, pool=None):
-        return restore_sampler(fname, pool=pool)
+    def restore(fname, pool=None, mesh=None):
+        return restore_sampler(fname, pool=pool, mesh=mesh)
 
     def __get_update_interval(self, update_interval, nlive):
         if update_interval is None:

@@ -291,9 +291,9 @@ def DynamicNestedSampler(loglikelihood, prior_transform, ndim, nlive=500,
         history_filename=history_filename)
 
 
-def _dynamic_restore(fname, pool=None):
+def _dynamic_restore(fname, pool=None, mesh=None):
     from .dynamicsampler import DynamicSampler
-    return DynamicSampler.restore(fname, pool=pool)
+    return DynamicSampler.restore(fname, pool=pool, mesh=mesh)
 
 
 DynamicNestedSampler.restore = _dynamic_restore

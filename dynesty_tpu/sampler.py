@@ -301,8 +301,8 @@ class Sampler:
         save_sampler(self, fname)
 
     @staticmethod
-    def restore(fname, pool=None):
-        return restore_sampler(fname, pool=pool)
+    def restore(fname, pool=None, mesh=None):
+        return restore_sampler(fname, pool=pool, mesh=mesh)
 
     def __getstate__(self):
         self._ensure_live_mirror()

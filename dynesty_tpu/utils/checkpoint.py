@@ -46,10 +46,14 @@ def save_sampler(sampler, fname):
         raise
 
 
-def restore_sampler(fname, pool=None):
+def restore_sampler(fname, pool=None, mesh=None):
     """Unpickle a sampler saved by :func:`save_sampler`, re-attaching the
-    given pool (and its map/queue_size) to the sampler and any nested
-    batch samplers."""
+    given pool (and its map/queue_size) and device ``mesh`` to the
+    sampler and any nested batch samplers.  Meshes are process-local so
+    they are never pickled; pass ``mesh=`` here to continue a sharded
+    run.  The saved queue widths must divide by the new mesh size —
+    resumes are bit-exact only when the proposal widths are unchanged,
+    so a non-divisible mesh is rejected instead of re-clamped."""
     with open(fname, "rb") as fp:
         payload = pickle.load(fp)
     format_version = payload.get("format_version")
@@ -76,6 +80,15 @@ def restore_sampler(fname, pool=None):
         obj.mapper = mapper
         if queue_size is not None and getattr(obj, "queue_size", None) is None:
             obj.queue_size = queue_size
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            q = getattr(obj, "queue_size", None)
+            if q and q % mesh.size:
+                raise ValueError(
+                    f"Saved queue_size {q} does not divide by the mesh "
+                    f"size {mesh.size}; restore with a compatible mesh "
+                    "(or none) to keep the resume bit-exact.")
+        if hasattr(obj, "mesh"):
+            obj.mesh = mesh
         ll = getattr(obj, "loglikelihood", None)
         if ll is not None and hasattr(ll, "pool"):
             ll.pool = pool

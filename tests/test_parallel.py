@@ -14,6 +14,18 @@ from utils import get_rstate
 NDIM = 3
 LOGZ_TRUTH = NDIM * (-np.log(20.0))
 
+_CINV = np.linalg.inv(np.identity(NDIM) + 0.95 * (1 - np.identity(NDIM)))
+_LNORM = -0.5 * (np.log(2 * np.pi) * NDIM +
+                 np.log(np.linalg.det(np.linalg.inv(_CINV))))
+
+
+def _pickle_loglike(x):
+    return -0.5 * jnp.dot(x, jnp.asarray(_CINV) @ x) + _LNORM
+
+
+def _pickle_ptform(u):
+    return 10.0 * (2.0 * u - 1.0)
+
 
 def _gau():
     cov = np.identity(NDIM)
@@ -229,3 +241,36 @@ def test_mesh_dynamic_equivalence():
     assert np.allclose(rm.logl, rs.logl, rtol=1e-10)
     assert np.allclose(rm.logz[-1], rs.logz[-1], rtol=1e-8)
     assert int(np.sum(rm.ncall)) == int(np.sum(rs.ncall))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_restore(tmp_path):
+    """Meshes are process-local and never pickled; restore(mesh=...) must
+    re-attach one and finish bit-identically to an uninterrupted sharded
+    run, and a non-divisible mesh must be rejected."""
+
+    def _sampler():
+        # module-level (picklable) problem functions
+        return dytpu.NestedSampler(_pickle_loglike, _pickle_ptform, NDIM,
+                                   nlive=200, bound="single",
+                                   sample="unif", rstate=get_rstate(),
+                                   queue_size=64, mesh=make_mesh(8))
+
+    full = _sampler()
+    full.run_nested(print_progress=False)
+
+    part = _sampler()
+    part.run_nested(maxiter=400, add_live=False, print_progress=False)
+    fname = str(tmp_path / "mesh.save")
+    part.save(fname)
+
+    with pytest.raises(ValueError, match="divide"):
+        dytpu.NestedSampler.restore(fname, mesh=make_mesh(3))
+
+    resumed = dytpu.NestedSampler.restore(fname, mesh=make_mesh(8))
+    assert resumed.mesh is not None
+    resumed.run_nested(resume=True, print_progress=False)
+    rf, rr = full.results, resumed.results
+    assert np.array_equal(rf.logl, rr.logl)
+    assert rf.logz[-1] == rr.logz[-1]
+    assert int(np.sum(rf.ncall)) == int(np.sum(rr.ncall))
