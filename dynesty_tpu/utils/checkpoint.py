@@ -81,12 +81,20 @@ def restore_sampler(fname, pool=None, mesh=None):
         if queue_size is not None and getattr(obj, "queue_size", None) is None:
             obj.queue_size = queue_size
         if mesh is not None and getattr(mesh, "size", 1) > 1:
-            q = getattr(obj, "queue_size", None)
-            if q and q % mesh.size:
-                raise ValueError(
-                    f"Saved queue_size {q} does not divide by the mesh "
-                    f"size {mesh.size}; restore with a compatible mesh "
-                    "(or none) to keep the resume bit-exact.")
+            # every dispatch width the sampler may use must shard evenly:
+            # queue_size plus the adaptive endgame widths (_q_full /
+            # _q_narrow, sampler.py), which a bracketed batch dispatches
+            # directly — a width that passes queue_size but not the
+            # narrow one would crash mid-endgame in shard_batch
+            widths = {"queue_size": getattr(obj, "queue_size", None),
+                      "_q_full": getattr(obj, "_q_full", None),
+                      "_q_narrow": getattr(obj, "_q_narrow", None)}
+            for name, q in widths.items():
+                if q and q % mesh.size:
+                    raise ValueError(
+                        f"Saved {name} {q} does not divide by the mesh "
+                        f"size {mesh.size}; restore with a compatible "
+                        "mesh (or none) to keep the resume bit-exact.")
         if hasattr(obj, "mesh"):
             obj.mesh = mesh
         ll = getattr(obj, "loglikelihood", None)

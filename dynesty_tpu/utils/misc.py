@@ -309,7 +309,10 @@ def get_print_fn_args(itresult, niter, ncall, add_live_it=None, dlogz=None,
     ``utils.py:575-651``."""
     loglstar = itresult.loglstar if itresult.loglstar > -1e6 else -np.inf
     logz = itresult.logz if itresult.logz > -1e6 else -np.inf
-    delta_logz = min(itresult.delta_logz, 1e10)
+    # above 1e6 the margin is effectively unconverged: print inf
+    # (reference ``utils.py:598``)
+    delta_logz = itresult.delta_logz if itresult.delta_logz <= 1e6 \
+        else np.inf
     logzvar = itresult.logzvar
     logzerr = np.sqrt(logzvar) if 0.0 <= logzvar <= 1e6 else np.nan
 
@@ -365,9 +368,11 @@ def print_fn_fallback(itresult, niter, ncall, add_live_it=None, dlogz=None,
                              add_live_it=add_live_it, dlogz=dlogz,
                              stop_val=stop_val, nbatch=nbatch,
                              logl_min=logl_min, logl_max=logl_max)
+    # only the long tier carries the iteration prefix (reference
+    # ``utils.py:714``; mid/short rely on the caller's counter)
     tiers = [" | ".join([f"iter: {args.niter:d}"] + args.long_str),
-             " | ".join([f"i: {args.niter:d}"] + args.mid_str),
-             "|".join([f"i:{args.niter:d}"] + args.short_str)]
+             " | ".join(args.mid_str),
+             "|".join(args.short_str)]
     width = _terminal_width() - 1
     line = next((t for t in tiers if len(t) <= width), tiers[-1][:width])
     sys.stderr.write("\r" + line.ljust(min(width, 120)))
@@ -387,12 +392,17 @@ def print_fn_tqdm(pbar, itresult, niter, ncall, add_live_it=None,
     pbar.update(args.niter - pbar.n)
 
 
-def print_fn(results, niter, ncall, pbar=None, **kwargs):
+def print_fn(results, niter, ncall, add_live_it=None, dlogz=None,
+             stop_val=None, nbatch=None, logl_min=-np.inf,
+             logl_max=np.inf, pbar=None):
     """Stateless default progress printer for users passing
     ``print_func=`` directly (reference ``utils.py:502-572``): tqdm when
     a ``pbar`` is supplied, width-adaptive stderr line otherwise.  The
     default internal path instead uses a per-run printer with an ETA
-    estimate (:func:`get_print_func`)."""
+    estimate (:func:`get_print_func`).  The signature (``pbar`` last)
+    matches the reference calling convention."""
+    kwargs = dict(add_live_it=add_live_it, dlogz=dlogz, stop_val=stop_val,
+                  nbatch=nbatch, logl_min=logl_min, logl_max=logl_max)
     if pbar is not None:
         print_fn_tqdm(pbar, results, niter, ncall, **kwargs)
     else:

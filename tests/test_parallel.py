@@ -73,7 +73,11 @@ def test_sharded_run():
                           ("rslice", "single", False),
                           ("rwalk", "single", False),
                           ("unif", "multi", False),
-                          ("rslice", "single", True)])
+                          ("rslice", "single", True),
+                          ("slice", "single", False),
+                          ("unif", "balls", False),
+                          ("unif", "cubes", False),
+                          ("rwalk", "multi", False)])
 def test_mesh_equivalence(sample, bound, blob):
     """An 8-device sharded run must reproduce the 1-device run: same RNG
     stream, same proposals, same records (up to reduction round-off) —
@@ -266,6 +270,19 @@ def test_mesh_restore(tmp_path):
 
     with pytest.raises(ValueError, match="divide"):
         dytpu.NestedSampler.restore(fname, mesh=make_mesh(3))
+
+    # a mesh whose size divides queue_size but NOT the pickled endgame
+    # widths (_q_narrow) must be rejected too: a bracketed batch
+    # dispatches the narrow width directly
+    n48 = dytpu.NestedSampler(_pickle_loglike, _pickle_ptform, NDIM,
+                              nlive=200, bound="single", sample="unif",
+                              rstate=get_rstate(), queue_size=48,
+                              mesh=make_mesh(8))
+    assert n48.queue_size % 3 == 0 and n48._q_narrow % 3 != 0
+    fname48 = str(tmp_path / "mesh48.save")
+    n48.save(fname48)
+    with pytest.raises(ValueError, match="_q_narrow"):
+        dytpu.NestedSampler.restore(fname48, mesh=make_mesh(3))
 
     resumed = dytpu.NestedSampler.restore(fname, mesh=make_mesh(8))
     assert resumed.mesh is not None

@@ -90,6 +90,26 @@ def test_fallback_eta_per_run(monkeypatch, capsys):
     assert "logz:" in capsys.readouterr().err
 
 
+def test_print_fn_signature_parity(capsys):
+    """Reference-style positional calls bind add_live_it (not pbar) as
+    the 4th argument (reference ``utils.py:502-511``), and an
+    unconverged margin (> 1e6) prints as inf."""
+    from types import SimpleNamespace
+
+    from dynesty_tpu.utils.misc import get_print_fn_args
+
+    res = SimpleNamespace(loglstar=-1.0, logz=-5.0, logzvar=0.01,
+                          delta_logz=3e7, bounditer=1, nc=2, eff=25.0)
+    # 4th positional = add_live_it; must not be bound to pbar
+    print_fn(res, 10, 100, 3, 0.01)
+    err = capsys.readouterr().err
+    assert "+3" in err
+    args = get_print_fn_args(res, 10, 100, dlogz=0.01)
+    assert any("inf" in s for s in args.long_str)
+    # only the long tier carries the iteration prefix
+    assert not any(s.startswith("i:") for s in args.mid_str)
+
+
 def test_eta_estimator_batch():
     eta = EtaEstimator()
     # batch bracket [0, 10], loglstar crossed 25% after 100 iters
