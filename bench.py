@@ -185,7 +185,15 @@ def bench_heavy():
         "evals_per_s": round(evals_per_s, 1),
         "device_ceiling_evals_per_s": round(ceiling, 1),
         "duty_cycle": round(evals_per_s / ceiling, 4),
+        # per-run wall-clock attribution (dispatch-latency accounting):
+        # where the non-device remainder of the duty cycle goes
+        "timings": _round_timings(sampler.timings),
     }
+
+
+def _round_timings(timings):
+    return {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in sorted(timings.items())}
 
 
 def _measure_reference_heavy():
@@ -300,6 +308,7 @@ def main():
         "logz_pull": round(pull, 2),
         "ncall": int(np.sum(res.ncall)),
         "ref_seconds": ref_seconds,
+        "timings": _round_timings(sampler.timings),
     }
     try:
         out["heavy"] = bench_heavy()

@@ -21,7 +21,7 @@ from .ops.integrals import compute_integrals, get_neff_from_logwt
 from .sampler import Sampler, initialize_live_points
 from .utils.checkpoint import restore_sampler, save_sampler
 from .utils.misc import (DelayTimer, IteratorResult, IteratorResultShort,
-                         get_print_func, get_seed_sequence)
+                         Timings, get_print_func, get_seed_sequence)
 from .utils.results import Results, RunRecord
 from .utils.runs import _kld_error
 
@@ -446,6 +446,20 @@ class DynamicSampler:
         self.batch_sampler = None
         self.checkpoint_timer = None
         self.live_blobs = None
+        # wall-clock attribution from completed batch samplers (the
+        # ``timings`` property adds the live base/batch samplers' views)
+        self.timings_closed = Timings()
+
+    @property
+    def timings(self):
+        """Merged per-run wall-clock attribution across the base run and
+        every batch (see :class:`dynesty_tpu.utils.misc.Timings`)."""
+        t = Timings().merge(getattr(self, "timings_closed", None))
+        if self.sampler is not None:
+            t.merge(getattr(self.sampler, "timings", None))
+        if self.batch_sampler is not None:
+            t.merge(getattr(self.batch_sampler, "timings", None))
+        return t
 
     @classmethod
     def create(cls, loglikelihood, prior_transform, ndim, nlive=500,
@@ -873,6 +887,9 @@ class DynamicSampler:
                                       bounditer=results.bounditer,
                                       eff=self.eff, delta_logz=np.nan,
                                       proposal_stats=None)
+        if not hasattr(self, "timings_closed"):  # pre-timings checkpoints
+            self.timings_closed = Timings()
+        self.timings_closed.merge(getattr(batch_sampler, "timings", None))
         self.batch_sampler = None
 
     def combine_runs(self):

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from ..ops.integrals import progress_integration_jax
 
-__all__ = ["make_fused_round", "unpack_flat", "record_columns",
-           "LIVE_EXTRA_COLS"]
+__all__ = ["make_fused_round", "make_ctrl_derive", "unpack_flat",
+           "record_columns", "LIVE_EXTRA_COLS"]
 
 # live matrix layout: u | v | logl | it | bound | birth  (floats; ints
 # stored as floats, exact below 2^24 in f32).  ``birth`` is the logl
@@ -137,7 +137,8 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             # value STRICTLY below the maximum instead (-inf on a full
             # plateau, where the consume scan's plateau stop fires
             # before anything is consumed).
-            sorted_logl = jnp.sort(live_logl0)
+            sort_idx = jnp.argsort(live_logl0)
+            sorted_logl = live_logl0[sort_idx]
             lmax = sorted_logl[-1]
             cand = sorted_logl[q - 1]
             fallback = jnp.max(
@@ -521,6 +522,44 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         "npdim": npdim,
     }
     return fused_jit, layout
+
+
+def make_ctrl_derive(layout):
+    """Jitted ``derive(flat, ctrl_prev, rounds_active) -> ctrl_next``:
+    build the NEXT dispatch's control vector entirely on device from the
+    previous dispatch's (un-synced) flat output, so a pipelined launch
+    never waits for the host.
+
+    Matches the host computation exactly for a fully-consumed dispatch:
+    the integrator block is the flat output's own integ vector, the
+    remaining accept/call budgets shrink by this dispatch's ``n_acc`` /
+    ``nc_launched`` (the host bills launched-but-unconsumed work too, so
+    ``nc_launched`` — not ``nc_used`` — is the right decrement), and the
+    proposal scale is the dispatch's final tuned scale.  ``layout`` is
+    the producing dispatch's layout (its record block sizes the offsets
+    into ``flat``)."""
+    q, w = layout["rec_shape"]
+    off = q * w
+    offi = off + layout["n_integ"]
+
+    @jax.jit
+    def derive(flat, ctrl_prev, rounds_active):
+        dt = flat.dtype
+        integ = flat[off:off + 9]
+        tail = jnp.stack([
+            ctrl_prev[9],                          # dlogz
+            ctrl_prev[10],                         # logl_max
+            ctrl_prev[11] - flat[offi + 0],        # max_accepts - n_acc
+            ctrl_prev[12] - flat[offi + 6],        # max_nc - nc_launched
+            flat[offi + 5],                        # scale_final
+            jnp.zeros((), dt),                     # kills0
+            jnp.asarray(rounds_active, dt),
+            jnp.full((), -1e30, dt),               # birth0 (unused)
+            jnp.zeros((), dt),                     # rounds_skip
+        ])
+        return jnp.concatenate([integ, tail])
+
+    return derive
 
 
 def _bmask(mask, ndim_leaf):

@@ -203,30 +203,90 @@ class InternalSampler:
     def _fused_cfg_key(self):
         return ()
 
-    def run_fused(self, nested_sampler, key, live_packed, live_blob,
-                  axes_args, integ, limits, rounds_active=None,
-                  rounds_skip=0):
-        """Execute one fused round; returns the unpacked host dict plus
-        (old_blobs, new_live_blob) device trees.  ``rounds_active`` caps
-        the chained rounds that actually consume/bill work this dispatch
-        (same compiled program; see make_fused_round); ``rounds_skip``
-        skips the leading rounds (continuation of a budget-interrupted
-        dispatch with its original key)."""
+    def launch_fused(self, nested_sampler, key, live_packed, live_blob,
+                     axes_args, integ, limits, rounds_active=None,
+                     rounds_skip=0):
+        """Launch one fused round asynchronously (JAX async dispatch);
+        returns a handle dict of device arrays for :meth:`finish_fused`.
+        ``rounds_active`` caps the chained rounds that actually
+        consume/bill work this dispatch (same compiled program; see
+        make_fused_round); ``rounds_skip`` skips the leading rounds
+        (continuation of a budget-interrupted dispatch with its
+        original key)."""
         bound_kind = nested_sampler.device_bound_kind()
         fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
         if rounds_active is None:
             rounds_active = layout["rounds"]
         rounds_active = min(max(int(rounds_active), 1), layout["rounds"])
-        ctrl = np.concatenate([integ, limits,
-                               [self.scale, 0.0, float(rounds_active),
-                                -1e30, float(rounds_skip)]])
+        ctrl = jnp.asarray(
+            np.concatenate([integ, limits,
+                            [self.scale, 0.0, float(rounds_active),
+                             -1e30, float(rounds_skip)]]),
+            nested_sampler.dtype)
+        return self._launch(fused_fn, layout, key, live_packed, live_blob,
+                            axes_args, ctrl, rounds_active)
+
+    def launch_fused_derived(self, nested_sampler, key, prev_handle,
+                             axes_args, rounds_active=None):
+        """Pipelined launch: dispatch the NEXT fused round from the
+        previous dispatch's un-synced device outputs (its final live
+        state and a control vector derived on device from its flat
+        output), so the device works on this dispatch while the host is
+        still consuming the previous one.  Correct only when the
+        previous dispatch fully consumes (the caller gates on that)."""
+        from .fused import make_ctrl_derive
+
+        bound_kind = nested_sampler.device_bound_kind()
+        fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
+        if rounds_active is None:
+            rounds_active = layout["rounds"]
+        rounds_active = min(max(int(rounds_active), 1), layout["rounds"])
+        prev_layout = prev_handle["layout"]
+        dkey = ("ctrl_derive", prev_layout["rec_shape"])
+        derive = self._round_cache.get(dkey)
+        if derive is None:
+            derive = _GLOBAL_ROUND_CACHE.get(dkey)
+            if derive is None:
+                derive = make_ctrl_derive(prev_layout)
+                _GLOBAL_ROUND_CACHE[dkey] = derive
+            self._round_cache[dkey] = derive
+        ctrl = derive(prev_handle["flat"], prev_handle["ctrl"],
+                      float(rounds_active))
+        return self._launch(fused_fn, layout, key, prev_handle["live"],
+                            prev_handle["live_blob"], axes_args, ctrl,
+                            rounds_active)
+
+    def _launch(self, fused_fn, layout, key, live_packed, live_blob,
+                axes_args, ctrl, rounds_active):
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
-            fused_fn(key, live_packed, live_blob, axes_args,
-                     jnp.asarray(ctrl, nested_sampler.dtype))
-        out = unpack_flat(jax.device_get(flat), layout)
-        out["qblob"] = qblob
-        out["proposals_dev"] = proposals  # fetched only for leftovers
-        return out, live_out, live_blob_out, old_blobs
+            fused_fn(key, live_packed, live_blob, axes_args, ctrl)
+        return {"flat": flat, "proposals": proposals, "live": live_out,
+                "live_blob": live_blob_out, "old_blobs": old_blobs,
+                "qblob": qblob, "layout": layout, "ctrl": ctrl,
+                "rounds_active": rounds_active}
+
+    def finish_fused(self, handle):
+        """Block on a launched fused round; returns the unpacked host
+        dict plus the (live, live_blob, old_blobs) device trees."""
+        out = unpack_flat(jax.device_get(handle["flat"]),
+                          handle["layout"])
+        out["qblob"] = handle["qblob"]
+        out["proposals_dev"] = handle["proposals"]  # fetched only for
+        # leftover replay
+        return (out, handle["live"], handle["live_blob"],
+                handle["old_blobs"])
+
+    def run_fused(self, nested_sampler, key, live_packed, live_blob,
+                  axes_args, integ, limits, rounds_active=None,
+                  rounds_skip=0):
+        """Execute one fused round synchronously (launch + finish);
+        returns the unpacked host dict plus the (live, live_blob,
+        old_blobs) device trees."""
+        handle = self.launch_fused(nested_sampler, key, live_packed,
+                                   live_blob, axes_args, integ, limits,
+                                   rounds_active=rounds_active,
+                                   rounds_skip=rounds_skip)
+        return self.finish_fused(handle)
 
     def get_replay(self, nested_sampler):
         """Consume-only fused round: replays externally supplied

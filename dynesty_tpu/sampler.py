@@ -15,6 +15,7 @@ import copy
 import itertools
 import math
 import sys
+import time
 import warnings
 
 import numpy as np
@@ -25,7 +26,7 @@ from .internal.samplers import UnitCubeSampler
 from .ops.integrals import LOWL_VAL, compute_integrals, progress_integration
 from .utils.checkpoint import restore_sampler, save_sampler
 from .utils.misc import (DelayTimer, IteratorBlock, IteratorResult,
-                         get_jax_key,
+                         Timings, get_jax_key,
                          get_print_func, get_random_generator)
 from .utils.results import Results, RunRecord
 
@@ -262,6 +263,8 @@ class Sampler:
         self.pool = None
         self.mapper = map
         self.use_pool = {}
+        # per-run wall-clock attribution (see utils.misc.Timings)
+        self.timings = Timings()
         # chain this many propose+consume rounds per device call
         # (amortizes fixed dispatch costs; bound refits and tuning then
         # happen every rounds_per_dispatch queue refills)
@@ -309,7 +312,7 @@ class Sampler:
         state = self.__dict__.copy()
         for k in ("pool", "mapper", "mesh", "_live_dev",
                   "_live_blob_dev", "_bound_upload", "_mirror_stale",
-                  "last_proposals_sharding"):
+                  "last_proposals_sharding", "_inflight"):
             state.pop(k, None)
         return state
 
@@ -318,6 +321,8 @@ class Sampler:
         self.pool = None
         self.mapper = map
         self.mesh = None
+        if "timings" not in state:  # pre-timings checkpoints
+            self.timings = Timings()
 
     def reset(self):
         """Re-initialize: fresh live points from the prior and cleared
@@ -348,10 +353,13 @@ class Sampler:
         self.plateau_counter = None
         self.plateau_logdvol = None
         self.saved_run = RunRecord()
+        self.timings = Timings()
         for k in ("_integ", "_pending_records", "_leftover",
                   "_continuation", "_live_dev", "_live_blob_dev",
                   "_mirror_stale", "_bound_upload", "_nc_carry",
-                  "_nc_per_round_ema"):
+                  "_nc_per_round_ema", "_inflight", "_next_spec",
+                  "_nc_entry_ema", "_last_delta_logz",
+                  "_bracket_start", "_bracket_it0"):
             self.__dict__.pop(k, None)
 
     # ------------------------------------------------------------------
@@ -393,7 +401,9 @@ class Sampler:
             # device only when the trigger actually fires (a blocking
             # device_get costs ~25 ms through the relay, and most
             # round-boundary checks do not fire)
+            import time as _time
             self._ensure_live_mirror()
+            t0 = _time.perf_counter()
             if loglstar == LOWL_VAL:
                 subset = self.live_logl > loglstar
             else:
@@ -408,6 +418,8 @@ class Sampler:
                 self.bound_list.append(copy.deepcopy(self.bound))
             self.nbound += 1
             self.ncall_at_last_update = ncall
+            self.timings.add("refit", _time.perf_counter() - t0)
+            self.timings.count("n_refit")
 
     def ensure_startpoints_bounded(self, idxs):
         """Force a bound refit if any selected start point escaped the
@@ -510,8 +522,11 @@ class Sampler:
         """Refresh the host live mirrors from the device-resident state
         (live points stay on device between fused rounds)."""
         if getattr(self, "_mirror_stale", False):
+            import time as _time
+
             import jax
 
+            t0 = _time.perf_counter()
             live = jax.device_get(self._live_dev)
             self._sync_live(live, self._mirror_bounditer)
             if self.blob and self._live_blob_dev is not None:
@@ -523,6 +538,167 @@ class Sampler:
                     for i in range(self.nlive)
                 ]
             self._mirror_stale = False
+            self.timings.add("mirror", _time.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
+    # fused dispatch planning / pipelining
+
+    def _estimate_remaining(self, dlogz_eff, logl_max, loglstar):
+        """Estimated accepts remaining before a stopping criterion, or
+        None when no estimate exists.  delta_logz decays ~e^(-i/nlive),
+        so the accepts remaining to reach dlogz are ~nlive*ln(delta/
+        dlogz); bracketed (dynamic-batch) runs extrapolate the bracket
+        progress instead.  Persistent attrs (_bracket_*) are pickled so
+        a resumed run continues the same estimate."""
+        est = None
+        last_delta = getattr(self, "_last_delta_logz", None)
+        if last_delta is not None and np.isfinite(dlogz_eff) \
+                and dlogz_eff > 0 and last_delta > 0:
+            # small margin: an undershoot costs one extra (cheap)
+            # dispatch, an overshoot strands at most ~one round
+            est = 1.1 * self.nlive * max(
+                np.log(last_delta) - np.log(dlogz_eff), 0.0)
+        if np.isfinite(logl_max):
+            # dynamic batches stop at logl_max: extrapolate the bracket
+            # progress (iterations spent per unit of loglstar motion)
+            if getattr(self, "_bracket_start", None) is None \
+                    and np.isfinite(loglstar) \
+                    and loglstar > LOWL_VAL / 2:
+                self._bracket_start = float(loglstar)
+                self._bracket_it0 = int(self.it)
+            start = getattr(self, "_bracket_start", None)
+            if start is not None and loglstar > start \
+                    and logl_max > start:
+                prog = (loglstar - start) / (logl_max - start)
+                prog = min(prog, 0.999)
+                done_iters = max(self.it - self._bracket_it0, 1)
+                est2 = 1.2 * done_iters * (1.0 - prog) / prog
+                est = est2 if est is None else min(est, est2)
+            # a-priori batch length from the bracket's saved log-volume
+            # span (set by _configure_batch_sampler): available from the
+            # batch's first round, before the progress estimate can fire
+            tot = getattr(self, "_bracket_est_total", None)
+            if tot is not None:
+                est3 = 1.2 * max(tot - (self.it - 1), 0.0)
+                est = est3 if est is None else min(est, est3)
+        return est
+
+    def _make_dispatch_spec(self, dlogz_eff, logl_max, loglstar,
+                            est_offset=0):
+        """Plan one fused dispatch: choose the dispatch width and
+        active-round cap from the remaining-work estimate, run the
+        round-boundary bound-refit triggers (the ONLY place host refits
+        fire), and draw the dispatch key.  The spec is pickled as
+        ``_next_spec`` until its dispatch is consumed, so an interrupted
+        run relaunches the identical dispatch — the dispatch structure
+        stays a pure function of pickled state (bit-exact resume,
+        tests/test_resume.py), pipelined or not.
+
+        ``est_offset`` discounts accepts the in-flight dispatch will
+        consume before this one runs (pipelined pre-launches plan with
+        an estimate that is stale by one dispatch).
+
+        NOTE: the maxiter/maxcall budgets must NOT shape the dispatch
+        (width or active rounds) for the same reason: a maxiter stop
+        therefore strands at most one dispatch of speculative work,
+        which is billed honestly."""
+        est = self._estimate_remaining(dlogz_eff, logl_max, loglstar)
+        if est is not None and est_offset:
+            est = max(est - est_offset, 0.0)
+        # adaptive dispatch sizing: near the stopping criterion activate
+        # only as many chained rounds as the estimated remaining work
+        # needs, so the terminal stop does not strand (and bill) a huge
+        # speculative dispatch.  Same compiled program — the cap is a
+        # runtime scalar (see internal/fused.py).
+        # endgame: when less than one full round of work remains,
+        # dispatch a narrow round instead so the terminal stop strands
+        # (and bills) at most a few lanes.  Only for logl_max-bracketed
+        # (dynamic batch) runs: the narrow width is a separate compiled
+        # program, and its one-time trace cost amortizes over the many
+        # batches that share it but not over a static run's single
+        # terminal dispatch.
+        q_full = getattr(self, "_q_full", self.queue_size)
+        q_narrow = getattr(self, "_q_narrow", q_full)
+        if est is not None and est < 0.75 * q_full \
+                and q_narrow < q_full and np.isfinite(logl_max):
+            queue_size = q_narrow
+        else:
+            queue_size = q_full
+        # NOTE on refit cadence: chained rounds coarsen the bound-refit
+        # granularity to dispatch boundaries.  That is safe for the MCMC
+        # kernels (the bound only supplies starts/axes; per-round scale
+        # tuning runs on device), while the rejection-efficiency-
+        # sensitive uniform kernels get device-side per-round refits
+        # (ellipsoid stacks) or never chain.
+        if est is None:
+            rounds_active = None
+        else:
+            rounds_active = max(1, int(math.ceil(
+                (min(est, 2**30) + queue_size // 2) / queue_size)))
+        if np.isfinite(logl_max) and getattr(
+                self.internal_sampler, "name", "") == "unif":
+            # bracketed (dynamic-batch) uniform runs: chain only rounds
+            # that are CONFIDENTLY needed (round down with margin) — a
+            # round proposed past the logl_max stop is a full wave loop
+            # of stranded billed work, which costs far more calls than
+            # an extra dispatch costs latency
+            if est is None:
+                rounds_active = 1
+            else:
+                rounds_active = max(1, int(math.floor(
+                    0.7 * min(est, 2**30) / queue_size)))
+        # round boundary: refit triggers (may consume rstate via
+        # bootstrap; the refitted bound is pickled with the spec's
+        # effects, so restored specs skip this block entirely)
+        loglstar_round = max(loglstar, np.float64(LOWL_VAL))
+        self.update_bound_if_needed(loglstar_round, ncall=self.ncall)
+        # per-dispatch key, with its seed retained so an interrupted
+        # (or merely pre-launched) dispatch relaunches bit-exactly
+        key_seed = int(self.rstate.integers(0, 2**63 - 1))
+        return {"key_seed": key_seed, "queue_size": queue_size,
+                "rounds_active": rounds_active}
+
+    def _can_pipeline(self, dlogz_eff, logl_max, loglstar, entries_cur,
+                      iter_left, call_left):
+        """Gate for speculatively pre-launching the NEXT dispatch while
+        the current one is still in flight (dispatch pipelining).  Only
+        pre-launch when the next dispatch is overwhelmingly likely to be
+        consumed: speculation that straddles a stopping criterion
+        strands one dispatch of billed likelihood calls.  All inputs are
+        pickled state, so the decision replays identically on resume.
+        ``entries_cur`` is the in-flight dispatch's planned consumption
+        (the remaining-work estimate predates its launch)."""
+        if self.unit_cube_sampling:
+            # the first-update transition swaps the internal sampler at
+            # an unpredictable round boundary: stay synchronous
+            return False
+        if getattr(self.loglikelihood, "mode", None) == "host":
+            return False  # io_callback likelihoods stay synchronous
+        if self.device_bound_kind() != "ellipsoids":
+            # friends/custom bounds take fresh host-side arrays every
+            # dispatch; ellipsoid stacks are pure device state
+            return False
+        est = self._estimate_remaining(dlogz_eff, logl_max, loglstar)
+        if est is None:
+            # no estimate = no stopping criterion in sight (infinite
+            # delta_logz and no bracket): speculation is safe
+            est_remain = float("inf")
+        else:
+            est_remain = est - entries_cur
+        q_full = getattr(self, "_q_full", self.queue_size)
+        # demand real headroom beyond the in-flight dispatch: at least
+        # 1.5 confident rounds of work, and clear of the estimate's own
+        # relative-error band near the end of the run
+        if est_remain < max(1.5 * q_full,
+                            0.15 * (est or 0.0)):
+            return False
+        if iter_left < (0 if est is None else est) + 2 * q_full \
+                or iter_left <= entries_cur + q_full:
+            return False
+        nc_per = max(getattr(self, "_nc_entry_ema", 1.0), 1.0)
+        if call_left < (entries_cur + 2 * q_full) * nc_per:
+            return False
+        return True
 
     # ------------------------------------------------------------------
     # proposal queue
@@ -691,6 +867,11 @@ class Sampler:
         self._live_dev = getattr(self, "_live_dev", None)
         self._live_blob_dev = getattr(self, "_live_blob_dev", None)
         self._mirror_stale = getattr(self, "_mirror_stale", False)
+        # a pre-launched dispatch never survives a sample() re-entry
+        # (leftover replay advances the live state past its inputs); the
+        # pickled _next_spec relaunches it identically when its turn
+        # comes
+        self._inflight = None
 
         # f32 cannot represent the -1e300 sentinel: clamp to -1e30
         def _clamp(x):
@@ -774,6 +955,9 @@ class Sampler:
             if self._leftover is not None:
                 # consume-only replay of an interrupted dispatch's tail
                 # (chunked by queue_size); no RNG draw (bit-exact resume)
+                # — any pipelined pre-launch is superseded by the replay
+                # (its pickled spec relaunches it when its turn comes)
+                self._inflight = None
                 import jax.random as _jr
 
                 key = _jr.key(0)
@@ -795,12 +979,16 @@ class Sampler:
                                       b.dtype)])), pblob)
                 else:
                     pb_pad = None
+                t_disp0 = time.perf_counter()
                 out, live_out, live_blob_out, old_blobs_dev = \
                     self.internal_sampler.run_replay(
                         self, key, self._live_dev, self._live_blob_dev,
                         prop_padded, pb_pad, integ, limits,
                         kills0=self._leftover.get("kills", 0),
                         birth0=self._leftover.get("birth0", -1e30))
+                self.timings.add("dispatch",
+                                 time.perf_counter() - t_disp0)
+                self.timings.count("n_dispatch")
                 n_real_limit = n_real
                 skip_off = 0
                 dispatch_key_seed = None
@@ -815,148 +1003,125 @@ class Sampler:
                 # No bound refit and no fresh RNG draw here.
                 cont = self._continuation
                 self._continuation = None
+                self._inflight = None
                 self.queue_size = cont["queue_size"]
                 key = jax.random.key(cont["key_seed"])
                 dispatch_key_seed = cont["key_seed"]
                 _upload_live()
                 axes_args = self.device_bound_arrays()
+                t_disp0 = time.perf_counter()
                 out, live_out, live_blob_out, old_blobs_dev = \
                     self.internal_sampler.run_fused(
                         self, key, self._live_dev, self._live_blob_dev,
                         axes_args, integ, limits,
                         rounds_active=cont["rounds"],
                         rounds_skip=cont["skip"])
+                self.timings.add("dispatch",
+                                 time.perf_counter() - t_disp0)
+                self.timings.count("n_dispatch")
                 skip_off = cont["skip"] * self.queue_size
                 n_real_limit = min(len(out["accepts"]),
                                    cont["rounds"] * self.queue_size)
                 self.last_proposals_sharding = getattr(
                     out["proposals_dev"], "sharding", None)
             else:
-                # adaptive dispatch sizing: near the stopping criterion
-                # (or an iteration cap) activate only as many chained
-                # rounds as the estimated remaining work needs, so the
-                # terminal stop does not strand (and bill) a huge
-                # speculative dispatch.  delta_logz decays ~e^(-i/nlive),
-                # so the accepts remaining to reach dlogz are
-                # ~nlive*ln(delta/dlogz).  Same compiled program — the
-                # cap is a runtime scalar (see internal/fused.py).
-                est = None
-                last_delta = getattr(self, "_last_delta_logz", None)
-                if last_delta is not None and np.isfinite(dlogz_eff) \
-                        and dlogz_eff > 0 and last_delta > 0:
-                    # small margin: an undershoot costs one extra (cheap)
-                    # dispatch, an overshoot strands at most ~one round
-                    est = 1.1 * self.nlive * max(
-                        np.log(last_delta) - np.log(dlogz_eff), 0.0)
-                if np.isfinite(logl_max):
-                    # dynamic batches stop at logl_max: extrapolate the
-                    # bracket progress (iterations spent per unit of
-                    # loglstar motion) — persistent attrs so a resumed
-                    # batch continues the same estimate
-                    if getattr(self, "_bracket_start", None) is None \
-                            and np.isfinite(loglstar) \
-                            and loglstar > LOWL_VAL / 2:
-                        self._bracket_start = float(loglstar)
-                        self._bracket_it0 = int(self.it)
-                    start = getattr(self, "_bracket_start", None)
-                    if start is not None and loglstar > start \
-                            and logl_max > start:
-                        prog = (loglstar - start) / (logl_max - start)
-                        prog = min(prog, 0.999)
-                        done_iters = max(self.it - self._bracket_it0, 1)
-                        est2 = 1.2 * done_iters * (1.0 - prog) / prog
-                        est = est2 if est is None else min(est, est2)
-                    # a-priori batch length from the bracket's saved
-                    # log-volume span (set by _configure_batch_sampler):
-                    # available from the batch's first round, before the
-                    # progress estimate can fire
-                    tot = getattr(self, "_bracket_est_total", None)
-                    if tot is not None:
-                        est3 = 1.2 * max(tot - (self.it - 1), 0.0)
-                        est = est3 if est is None else min(est, est3)
-                # NOTE: the maxiter/maxcall budgets must NOT shape the
-                # dispatch (width or active rounds): the structure has to
-                # be a pure function of pickled sampler state so that an
-                # interrupted-and-resumed run replays the identical round
-                # sequence (bit-exact resume, tests/test_resume.py).  A
-                # maxiter stop therefore strands at most one dispatch of
-                # speculative work, which is billed honestly.
-                # endgame: when less than one full round of work remains,
-                # dispatch a narrow round instead so the terminal stop
-                # strands (and bills) at most a few lanes.  Only for
-                # logl_max-bracketed (dynamic batch) runs: the narrow
-                # width is a separate compiled program, and its one-time
-                # trace cost amortizes over the many batches that share
-                # it but not over a static run's single terminal dispatch
-                # (where at most one round of speculative lanes strands).
-                q_full = getattr(self, "_q_full", self.queue_size)
-                q_narrow = getattr(self, "_q_narrow", q_full)
-                if est is not None and est < 0.75 * q_full \
-                        and q_narrow < q_full and np.isfinite(logl_max):
-                    self.queue_size = q_narrow
-                else:
-                    self.queue_size = q_full
-                # NOTE on refit cadence: chained rounds coarsen the
-                # bound-refit granularity to dispatch boundaries.  That
-                # is safe for the MCMC kernels (the bound only supplies
-                # starts/axes; per-round scale tuning runs on device),
-                # while the rejection-efficiency-sensitive uniform
-                # kernels never chain (max_rounds_per_dispatch = 1), so
-                # their refit checks still fire every round.
-                if est is None:
-                    rounds_active = None
-                else:
-                    rounds_active = max(1, int(math.ceil(
-                        (min(est, 2**30) + self.queue_size // 2)
-                        / self.queue_size)))
-                if np.isfinite(logl_max) and getattr(
-                        self.internal_sampler, "name", "") == "unif":
-                    # bracketed (dynamic-batch) uniform runs: chain only
-                    # rounds that are CONFIDENTLY needed (round down with
-                    # margin) — a round proposed past the logl_max stop
-                    # is a full wave loop of stranded billed work,
-                    # which costs far more calls than an extra dispatch
-                    # costs latency
-                    if est is None:
-                        rounds_active = 1
-                    else:
-                        rounds_active = max(1, int(math.floor(
-                            0.7 * min(est, 2**30) / self.queue_size)))
-
-                # round boundary: refit triggers
-                loglstar_round = max(loglstar, np.float64(LOWL_VAL))
-                self.update_bound_if_needed(loglstar_round,
-                                            ncall=self.ncall)
-                bounditer = self.nbound - 1 \
-                    if not self.unit_cube_sampling else 0
-                axes_args = self.device_bound_arrays()
-                # per-dispatch key, with its seed retained so a
-                # budget-interrupted chained dispatch can be continued
-                # bit-exactly (same rstate consumption as get_jax_key)
-                dispatch_key_seed = int(
-                    self.rstate.integers(0, 2**63 - 1))
-                key = jax.random.key(dispatch_key_seed)
-                skip_off = 0
-                _upload_live()
-                out, live_out, live_blob_out, old_blobs_dev = \
-                    self.internal_sampler.run_fused(
+                # ---- launch (or adopt the pipelined pre-launch of)
+                # this dispatch.  See _make_dispatch_spec/_can_pipeline:
+                # the spec of every un-consumed dispatch is pickled, so
+                # the dispatch structure stays a pure function of
+                # pickled state (bit-exact resume) either way.
+                handle = getattr(self, "_inflight", None)
+                self._inflight = None
+                if handle is None:
+                    spec = getattr(self, "_next_spec", None)
+                    if spec is None:
+                        spec = self._make_dispatch_spec(
+                            dlogz_eff, logl_max, loglstar)
+                        self._next_spec = spec
+                    self.queue_size = spec["queue_size"]
+                    bounditer = self.nbound - 1 \
+                        if not self.unit_cube_sampling else 0
+                    axes_args = self.device_bound_arrays()
+                    key = jax.random.key(spec["key_seed"])
+                    _upload_live()
+                    handle = self.internal_sampler.launch_fused(
                         self, key, self._live_dev, self._live_blob_dev,
                         axes_args, integ, limits,
-                        rounds_active=rounds_active)
+                        rounds_active=spec["rounds_active"])
+                    handle["spec"] = spec
+                    handle["bounditer"] = bounditer
+                else:
+                    spec = handle["spec"]
+                    bounditer = handle["bounditer"]
+                # this dispatch's results are consumed below: its spec
+                # is no longer "next"
+                self._next_spec = None
+                self.queue_size = spec["queue_size"]
+                dispatch_key_seed = spec["key_seed"]
+                rounds_active = handle["rounds_active"]
+
+                # ---- dispatch pipelining: speculatively pre-launch the
+                # NEXT dispatch from this one's un-synced device outputs
+                # (live state + control vector derived on device), so
+                # the device executes it while the host blocks on and
+                # consumes this dispatch's results.  The pre-launch spec
+                # is created with pre-consume state — exactly what a
+                # resumed run replays — and pickled as _next_spec.
+                entries_cur = rounds_active * self.queue_size
+                if self._can_pipeline(dlogz_eff, logl_max, loglstar,
+                                      entries_cur,
+                                      maxiter - accepted_this_call,
+                                      maxcall - ncall):
+                    t_pl0 = time.perf_counter()
+                    spec2 = self._make_dispatch_spec(
+                        dlogz_eff, logl_max, loglstar,
+                        est_offset=entries_cur)
+                    self.queue_size = spec2["queue_size"]
+                    axes2 = self.device_bound_arrays()
+                    key2 = jax.random.key(spec2["key_seed"])
+                    h2 = self.internal_sampler.launch_fused_derived(
+                        self, key2, handle, axes2,
+                        rounds_active=spec2["rounds_active"])
+                    h2["spec"] = spec2
+                    h2["bounditer"] = self.nbound - 1
+                    self._inflight = h2
+                    self._next_spec = spec2
+                    self.queue_size = spec["queue_size"]
+                    self.timings.add("prelaunch",
+                                     time.perf_counter() - t_pl0)
+                    self.timings.count("n_prelaunch")
+
+                skip_off = 0
+                t_disp0 = time.perf_counter()
+                out, live_out, live_blob_out, old_blobs_dev = \
+                    self.internal_sampler.finish_fused(handle)
+                self.timings.add("dispatch",
+                                 time.perf_counter() - t_disp0)
+                self.timings.count("n_dispatch")
                 # actual dispatch width: the unit-cube phase caps the
                 # chained rounds statically, and the adaptive cap limits
                 # the rounds that consumed/billed work at runtime (gated
                 # tail entries are dead — never consumed, billed, or
                 # kept as leftovers)
-                n_real_limit = len(out["accepts"]) if rounds_active is None \
-                    else min(len(out["accepts"]),
-                             rounds_active * self.queue_size)
+                n_real_limit = min(len(out["accepts"]),
+                                   rounds_active * self.queue_size)
+                # update the per-entry call-cost EMA used by the
+                # pipelining budget gate (normal dispatches only: replay
+                # and continuation dispatches never ran in the
+                # uninterrupted run, and resume must stay bit-exact)
+                ent = max(n_real_limit, 1)
+                per = out.get("nc_launched", 0) / ent
+                ema = getattr(self, "_nc_entry_ema", None)
+                self._nc_entry_ema = per if ema is None \
+                    else 0.5 * ema + 0.5 * per
                 # observability: the lane-axis sharding of the round's
                 # proposal block (asserted by the mesh tests)
                 self.last_proposals_sharding = getattr(
                     out["proposals_dev"], "sharding", None)
 
             # ---- leftover bookkeeping (checkpoint-exact resume)
+            t_cons0 = time.perf_counter()
+            self.timings.count("nc_launched", out.get("nc_launched", 0))
             n_cons = min(out["n_consumed"], n_real_limit - skip_off)
             nc_col = ndim + npdim + 1  # nc column of the proposals block
             kept_nc = 0
@@ -1094,6 +1259,20 @@ class Sampler:
                 # a pending continuation represents work never launched:
                 # nothing to bill, just drop it
                 self._continuation = None
+                infl = getattr(self, "_inflight", None)
+                if infl is not None:
+                    # a pipelined pre-launch can never be consumed now:
+                    # bill its launched likelihood work (exact terminal
+                    # ncall — the evals happened) and drop it
+                    lay = infl["layout"]
+                    offi = (lay["rec_shape"][0] * lay["rec_shape"][1] +
+                            lay["n_integ"])
+                    spec_nc = int(jax.device_get(infl["flat"][offi + 6]))
+                    self.ncall += spec_nc
+                    extra_nc += spec_nc
+                    self.timings.count("nc_stranded_pipeline", spec_nc)
+                    self._inflight = None
+                self._next_spec = None
 
             # ---- append the round's records in bulk, stage the yields
             recs = np.asarray(out["records"], dtype=np.float64)
@@ -1167,6 +1346,7 @@ class Sampler:
                             bounditer=bounditer, eff=self.eff,
                             delta_logz=float(dlz[i]),
                             proposal_stats=row_stats[j]))
+            self.timings.add("consume", time.perf_counter() - t_cons0)
 
         self._ensure_live_mirror()
 
@@ -1302,6 +1482,7 @@ class Sampler:
         pbar, print_func = get_print_func(print_func, print_progress)
         if checkpoint_file is not None:
             timer = DelayTimer(checkpoint_every)
+        t_run0 = time.perf_counter()
         try:
             ncall = self.ncall
             # without progress printing, consume whole device dispatches
@@ -1320,6 +1501,7 @@ class Sampler:
                     self.save(checkpoint_file)
             if add_live:
                 it = 0
+                t_al0 = time.perf_counter()
                 for results in self.add_live_points():
                     ncall += results.nc
                     niter = self.it + it
@@ -1327,7 +1509,9 @@ class Sampler:
                     if print_progress:
                         print_func(results, niter, ncall, add_live_it=it,
                                    dlogz=dlogz)
+                self.timings.add("add_live", time.perf_counter() - t_al0)
             # re-derive the integrals in one consistent pass
+            t_int0 = time.perf_counter()
             new_logwt, new_logz, new_logzvar, new_h = compute_integrals(
                 logl=self.saved_run["logl"],
                 logvol=self.saved_run["logvol"])
@@ -1335,9 +1519,11 @@ class Sampler:
             self.saved_run["logz"] = new_logz.tolist()
             self.saved_run["logzvar"] = new_logzvar.tolist()
             self.saved_run["h"] = new_h.tolist()
+            self.timings.add("integrals", time.perf_counter() - t_int0)
             if checkpoint_file is not None:
                 self.save(checkpoint_file)
         finally:
+            self.timings.add("total", time.perf_counter() - t_run0)
             if pbar is not None:
                 pbar.close()
             self.loglikelihood.finalize_history()

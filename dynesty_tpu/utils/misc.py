@@ -19,8 +19,56 @@ __all__ = [
     "mean_and_cov", "quantile", "resample_equal", "DelayTimer",
     "IteratorResult", "IteratorResultShort", "print_fn", "get_print_func",
     "PrintFnArgs", "get_print_fn_args", "print_fn_fallback",
-    "print_fn_tqdm", "SQRTEPS", "SamplerHistoryItem",
+    "print_fn_tqdm", "SQRTEPS", "SamplerHistoryItem", "Timings",
 ]
+
+
+class Timings(dict):
+    """Wall-clock attribution for one sampler run.
+
+    A plain dict of either seconds (float keys like ``dispatch``,
+    ``consume``, ``refit``) or counts (int keys like ``n_dispatch``),
+    populated by the sampler every run.  The reference exposes only
+    eff/ncall counters; this is the TPU build's analogue with the
+    host/device split made explicit, so duty-cycle regressions are
+    visible per run (printed by ``bench.py``).
+
+    Keys (seconds unless noted):
+
+    * ``dispatch`` — blocked in fused device calls (launch + device
+      execution + flat-result download).  With the pipelined dispatch
+      loop this is only the *non-overlapped* device wait.
+    * ``prelaunch`` — host time spent issuing pipelined pre-launches
+      (async; the device work itself overlaps the consume).
+    * ``consume`` — host record bookkeeping between dispatches.
+    * ``refit`` — host bound refits (BIC resplit, bootstrap).
+    * ``mirror`` — device->host live-state downloads.
+    * ``add_live`` — final live-point recycling sweep.
+    * ``integrals`` — final consistent evidence re-pass.
+    * ``total`` — whole ``run_nested`` call.
+    * ``n_dispatch`` (count) — fused device dispatches.
+    * ``n_prelaunch`` (count) — dispatches launched pipelined (before
+      the previous dispatch's results were consumed).
+    * ``n_refit`` (count) — host bound refits.
+    * ``nc_launched`` (count) — likelihood evaluations launched on
+      device (consumed or speculative).
+    * ``nc_stranded_pipeline`` (count) — billed evaluations from a
+      pipelined pre-launch stranded by a terminal stop.
+    """
+
+    def add(self, key, dt):
+        self[key] = self.get(key, 0.0) + dt
+
+    def count(self, key, n=1):
+        self[key] = self.get(key, 0) + n
+
+    def merge(self, other):
+        """Accumulate another run's timings (the dynamic layer sums the
+        base run and every batch sampler into one view)."""
+        if other:
+            for k, v in other.items():
+                self[k] = self.get(k, type(v)(0)) + v
+        return self
 
 # machine-precision tolerance used by weight normalization checks
 # (reference ``utils.py:41``)

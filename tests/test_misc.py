@@ -315,3 +315,31 @@ def test_dtype_kwarg():
     dns.run_nested(nlive_init=50, maxbatch=1, print_progress=False)
     assert dns.sampler.dtype == jnp.float32
     assert np.isfinite(dns.results.logz[-1])
+
+
+def test_timings_populated():
+    # every run populates the wall-clock attribution dict (perf
+    # telemetry; printed by bench.py) on both sampler layers
+    loglike, ptform = _gau()
+    rstate = get_rstate()
+    s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=100,
+                            bound="single", sample="unif",
+                            rstate=rstate, queue_size=32)
+    s.run_nested(print_progress=False)
+    t = s.timings
+    for key in ("dispatch", "consume", "total", "n_dispatch",
+                "nc_launched"):
+        assert key in t, key
+    assert t["n_dispatch"] >= 1
+    assert t["dispatch"] > 0
+    assert t["total"] >= t["dispatch"]
+    assert t["nc_launched"] >= s.ncall - 100  # init draws not dispatched
+
+    dns = dytpu.DynamicNestedSampler(loglike, ptform, NDIM,
+                                     bound="single", sample="unif",
+                                     rstate=get_rstate(), queue_size=32)
+    dns.run_nested(nlive_init=100, maxbatch=1, nlive_batch=50,
+                   print_progress=False)
+    dt = dns.timings
+    assert dt["n_dispatch"] >= 2  # base run + at least one batch
+    assert dt["dispatch"] > 0
