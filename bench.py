@@ -274,12 +274,13 @@ def main():
                                slices=SLICES,
                                rstate=rstate, queue_size=QUEUE,
                                rounds_per_dispatch=ROUNDS)
-    # two dispatches: the first runs the unit-cube variant, the second
-    # (after the first bound refit) the ellipsoid variant — so both
-    # fused programs are traced AND compiled before the timed window
-    # (the traces are shared across sampler instances process-wide)
-    warm.run_nested(maxiter=2 * QUEUE * ROUNDS + 1, print_progress=False,
-                    add_live=False)
+    # a FULL warm run: every fused-program variant the timed run hits
+    # (unit-cube, ellipsoid, the pipelined ctrl-derive program, the
+    # add-live sweep) is traced and compiled here; traces are shared
+    # across sampler instances process-wide.  A budget-capped warm run
+    # would skip the ctrl-derive compile: pipelined pre-launches are
+    # disabled under finite budgets (sampler._can_pipeline).
+    warm.run_nested(print_progress=False)
 
     rstate = np.random.Generator(np.random.PCG64(SEED))
     t0 = time.time()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.integrals import progress_integration_jax
 
-__all__ = ["make_fused_round", "make_ctrl_derive", "unpack_flat",
+__all__ = ["make_fused_round", "unpack_flat",
            "record_columns", "LIVE_EXTRA_COLS"]
 
 # live matrix layout: u | v | logl | it | bound | birth  (floats; ints
@@ -48,7 +48,7 @@ def record_columns(ndim, npdim):
 
 def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                      blob=False, rounds=1, tune_fn=None, mode="batch",
-                     mesh=None):
+                     mesh=None, chain_stop_fn=None):
     """Wrap a proposal round into a fused propose+consume device call.
 
     ``mode`` selects the batching semantics:
@@ -85,6 +85,19 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
     queue refill — the same cadence at which the reference tunes when
     its proposal queue drains (``sampler.py:757-764``).  The final scale
     is returned to the host in the info vector.
+
+    ``chain_stop_fn(integ, counters, ctrl) -> bool`` (traceable), when
+    given, is evaluated at the START of every chained round; once it
+    fires, that round and all later rounds are skipped entirely
+    (nothing proposed, billed or consumed) and bit 32 is set in the
+    reported stop reason.  Used by the unit-cube phase to stop the
+    chain exactly where the host's first-bound-update trigger would
+    fire (reference cadence: checked at every queue drain,
+    ``sampler.py:625-674``), so chaining cannot overshoot the
+    transition.  The gate makes the round cond carry-dependent — which
+    costs XLA some scan pipelining — so it is only used for programs
+    where stranded speculative rounds would be costlier (rejection
+    waves from the whole prior volume).
 
     Returned jitted function::
 
@@ -391,6 +404,8 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             "nc_accum": jnp.int32(0), "nc_used": jnp.int32(0),
             "done": jnp.asarray(False), "reason": jnp.int32(0),
         }
+        if chain_stop_fn is not None:
+            counters["chain_stop"] = jnp.asarray(False)
 
         def _zero_blob_like(live_blob):
             if live_blob is None:
@@ -410,16 +425,32 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
             # scan pipelining — for zero call savings, since the
             # host's est-based rounds_active already bounds overshoot.
             forced_off = (ridx >= rounds_active) | (ridx < rounds_skip)
+            if chain_stop_fn is not None:
+                # evaluate the chain-stop trigger at the round boundary
+                # (host-check cadence); once fired — or once the round
+                # chain is done for any reason — later rounds run
+                # nothing and bill nothing
+                live_c, blob_c, integ_c, counters_c, scale_c = carry
+                trig = counters_c["chain_stop"] | \
+                    chain_stop_fn(integ_c, counters_c, ctrl)
+                counters_c = dict(counters_c, chain_stop=trig)
+                carry = (live_c, blob_c, integ_c, counters_c, scale_c)
+                forced_off = forced_off | trig | counters_c["done"]
 
             def do_round(carry):
                 live, live_blob, integ, counters, scale = carry
                 was_done = counters["done"]
+                chain_flag = counters.get("chain_stop")
                 # the interrupted-round kill offset applies only to the
                 # first chained round of a dispatch (replay continuation)
                 rkills = jnp.where(ridx == 0, kills0, 0)
                 live, live_blob, integ, counters, round_out = one_round(
                     rkey, live, live_blob, integ, counters, limits,
                     scale, axes_args, rkills, birth0)
+                if chain_flag is not None:
+                    # one_round rebuilds the counters dict: re-attach
+                    # the carried chain-stop flag
+                    counters = dict(counters, chain_stop=chain_flag)
                 if tune_fn is not None:
                     # per-queue-refill scale adaptation (reference
                     # cadence: tune when the proposal queue drains,
@@ -482,12 +513,18 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         # total logical evals LAUNCHED this dispatch (consumed or not):
         # the basis for exact terminal ncall accounting on the host
         nc_launched = proposals[:, ndim + npdim + 1].sum()
+        reason_out = counters["reason"]
+        if chain_stop_fn is not None:
+            # bit 32: the chain-stop trigger fired (reported in
+            # addition to any terminal/budget cause bits)
+            reason_out = reason_out + \
+                32 * counters["chain_stop"].astype(jnp.int32)
         info_vec = jnp.stack([
             counters["n_acc"].astype(dtype),
             counters["nc_used"].astype(dtype),
             counters["done"].astype(dtype),
             counters["n_cons"].astype(dtype),
-            counters["reason"].astype(dtype),
+            reason_out.astype(dtype),
             scale.astype(dtype),
             nc_launched.astype(dtype),
         ])
@@ -522,44 +559,6 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         "npdim": npdim,
     }
     return fused_jit, layout
-
-
-def make_ctrl_derive(layout):
-    """Jitted ``derive(flat, ctrl_prev, rounds_active) -> ctrl_next``:
-    build the NEXT dispatch's control vector entirely on device from the
-    previous dispatch's (un-synced) flat output, so a pipelined launch
-    never waits for the host.
-
-    Matches the host computation exactly for a fully-consumed dispatch:
-    the integrator block is the flat output's own integ vector, the
-    remaining accept/call budgets shrink by this dispatch's ``n_acc`` /
-    ``nc_launched`` (the host bills launched-but-unconsumed work too, so
-    ``nc_launched`` — not ``nc_used`` — is the right decrement), and the
-    proposal scale is the dispatch's final tuned scale.  ``layout`` is
-    the producing dispatch's layout (its record block sizes the offsets
-    into ``flat``)."""
-    q, w = layout["rec_shape"]
-    off = q * w
-    offi = off + layout["n_integ"]
-
-    @jax.jit
-    def derive(flat, ctrl_prev, rounds_active):
-        dt = flat.dtype
-        integ = flat[off:off + 9]
-        tail = jnp.stack([
-            ctrl_prev[9],                          # dlogz
-            ctrl_prev[10],                         # logl_max
-            ctrl_prev[11] - flat[offi + 0],        # max_accepts - n_acc
-            ctrl_prev[12] - flat[offi + 6],        # max_nc - nc_launched
-            flat[offi + 5],                        # scale_final
-            jnp.zeros((), dt),                     # kills0
-            jnp.asarray(rounds_active, dt),
-            jnp.full((), -1e30, dt),               # birth0 (unused)
-            jnp.zeros((), dt),                     # rounds_skip
-        ])
-        return jnp.concatenate([integ, tail])
-
-    return derive
 
 
 def _bmask(mask, ndim_leaf):

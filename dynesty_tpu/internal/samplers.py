@@ -194,7 +194,8 @@ class InternalSampler:
             nlive=ns.nlive, ndim=self.ndim,
             npdim=ns.loglikelihood.npdim, q=ns.queue_size,
             dtype=ns.dtype, blob=ns.blob, rounds=rounds,
-            tune_fn=self.device_tune_fn(), mode=mode, mesh=mesh)
+            tune_fn=self.device_tune_fn(), mode=mode, mesh=mesh,
+            chain_stop_fn=self.device_chain_stop_fn())
         self._round_cache[cfg] = entry
         if gkey is not None:
             _GLOBAL_ROUND_CACHE[gkey] = entry
@@ -218,48 +219,42 @@ class InternalSampler:
         if rounds_active is None:
             rounds_active = layout["rounds"]
         rounds_active = min(max(int(rounds_active), 1), layout["rounds"])
+        ns = nested_sampler
         ctrl = jnp.asarray(
             np.concatenate([integ, limits,
                             [self.scale, 0.0, float(rounds_active),
-                             -1e30, float(rounds_skip)]]),
+                             -1e30, float(rounds_skip),
+                             # [18:21] chain-stop gate inputs (unit-cube
+                             # first-update check; dead inputs for
+                             # ungated programs): cumulative ncall at
+                             # launch, min_ncall, min_eff
+                             float(ns.ncall),
+                             float(getattr(ns, "first_bound_update_ncall",
+                                           0.0)),
+                             float(getattr(ns, "first_bound_update_eff",
+                                           0.0))]]),
             nested_sampler.dtype)
         return self._launch(fused_fn, layout, key, live_packed, live_blob,
                             axes_args, ctrl, rounds_active)
-
-    def launch_fused_derived(self, nested_sampler, key, prev_handle,
-                             axes_args, rounds_active=None):
-        """Pipelined launch: dispatch the NEXT fused round from the
-        previous dispatch's un-synced device outputs (its final live
-        state and a control vector derived on device from its flat
-        output), so the device works on this dispatch while the host is
-        still consuming the previous one.  Correct only when the
-        previous dispatch fully consumes (the caller gates on that)."""
-        from .fused import make_ctrl_derive
-
-        bound_kind = nested_sampler.device_bound_kind()
-        fused_fn, layout = self.get_fused(nested_sampler, bound_kind)
-        if rounds_active is None:
-            rounds_active = layout["rounds"]
-        rounds_active = min(max(int(rounds_active), 1), layout["rounds"])
-        prev_layout = prev_handle["layout"]
-        dkey = ("ctrl_derive", prev_layout["rec_shape"])
-        derive = self._round_cache.get(dkey)
-        if derive is None:
-            derive = _GLOBAL_ROUND_CACHE.get(dkey)
-            if derive is None:
-                derive = make_ctrl_derive(prev_layout)
-                _GLOBAL_ROUND_CACHE[dkey] = derive
-            self._round_cache[dkey] = derive
-        ctrl = derive(prev_handle["flat"], prev_handle["ctrl"],
-                      float(rounds_active))
-        return self._launch(fused_fn, layout, key, prev_handle["live"],
-                            prev_handle["live_blob"], axes_args, ctrl,
-                            rounds_active)
 
     def _launch(self, fused_fn, layout, key, live_packed, live_blob,
                 axes_args, ctrl, rounds_active):
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
             fused_fn(key, live_packed, live_blob, axes_args, ctrl)
+        # enqueue the device->host copies of everything the host will
+        # consume, smallest first: the relay's D2H queue is FIFO and
+        # dispatches complete in order, so pre-registering (live, blobs,
+        # flat) per dispatch means every later host fetch finds its
+        # bytes cached instead of paying a ~25 ms cold-RPC sync — and a
+        # refit-triggered live-mirror fetch never queues behind a big
+        # compute-dependent flat transfer.
+        try:
+            live_out.copy_to_host_async()
+            if old_blobs is not None:
+                jax.tree.map(lambda b: b.copy_to_host_async(), old_blobs)
+            flat.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
         return {"flat": flat, "proposals": proposals, "live": live_out,
                 "live_blob": live_blob_out, "old_blobs": old_blobs,
                 "qblob": qblob, "layout": layout, "ctrl": ctrl,
@@ -336,7 +331,8 @@ class InternalSampler:
             args["qblob"] = prop_blob
         ctrl = np.concatenate([integ, limits,
                                [self.scale, float(kills0), 1.0,
-                                max(float(birth0), -1e30), 0.0]])
+                                max(float(birth0), -1e30), 0.0,
+                                0.0, 0.0, 0.0]])
         flat, proposals, live_out, live_blob_out, old_blobs, qblob = \
             fused_fn(key, live_packed, live_blob, args,
                      jnp.asarray(ctrl, nested_sampler.dtype))
@@ -351,6 +347,12 @@ class InternalSampler:
         device between the fused call's inner rounds (the reference's
         queue-drain tuning cadence); None if the kernel has no scale
         tuning."""
+        return None
+
+    def device_chain_stop_fn(self):
+        """Traceable ``(integ, counters, ctrl) -> bool`` evaluated at
+        every chained round's start; True stops the chain (later rounds
+        run nothing and bill nothing).  None = no gate."""
         return None
 
     def apply_fused_tuning(self, out):
@@ -484,13 +486,32 @@ class UnitCubeSampler(InternalSampler):
     first bound update)."""
 
     name = "unitcube"
-    # prior rejection decays exponentially as the threshold rises, and
-    # the first bound refit can only happen at a dispatch boundary —
-    # never chain unit-cube rounds
-    max_rounds_per_dispatch = 1
+    # Unit-cube rounds CAN chain: the device-side chain-stop gate
+    # (device_chain_stop_fn) replicates the host's first-bound-update
+    # trigger at every round boundary — the reference's queue-drain
+    # cadence — so a chain stops exactly where the synchronous host
+    # check would have fired, and the gated tail rounds run nothing and
+    # bill nothing.  Capped at 8: each extra round only pays off while
+    # prior rejection is still efficient, and the flat record buffer
+    # (and its relay transfer) grows with the chain depth.
+    max_rounds_per_dispatch = 8
 
     def _build_propose_fn(self, ns, bound_kind):
         return _unif_propose_fn(self, ns, "cube")
+
+    def device_chain_stop_fn(self):
+        """First-bound-update trigger (reference ``sampler.py:625-674``):
+        stop chaining once sampling efficiency drops below min_eff with
+        at least min_ncall calls spent.  Inputs from ctrl[18:21] =
+        (cumulative ncall at launch, min_ncall, min_eff); eff matches
+        the host's ``100*(it-1)/ncall`` at the same round boundary."""
+        def gate(integ, counters, ctrl):
+            dt = ctrl.dtype
+            ncall_now = ctrl[18] + counters["nc_used"].astype(dt)
+            eff = 100.0 * (integ["it"].astype(dt) - 1.0) / \
+                jnp.maximum(ncall_now, 1.0)
+            return (eff < ctrl[20]) & (ncall_now >= ctrl[19])
+        return gate
 
     def consume_tuning(self, stats):
         # stats = (nc_total, n_proposals, n_filled): no scale tuning, but

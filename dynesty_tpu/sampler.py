@@ -602,6 +602,15 @@ class Sampler:
         (width or active rounds) for the same reason: a maxiter stop
         therefore strands at most one dispatch of speculative work,
         which is billed honestly."""
+        # round boundary: refit triggers FIRST (may consume rstate via
+        # bootstrap; the refitted bound is pickled with the spec's
+        # effects, so restored specs skip this method entirely).  Run
+        # before sizing so the first-update transition (unit cube ->
+        # real bound + real kernel) is visible to the sizing logic:
+        # otherwise the first post-transition dispatch is sized with
+        # _pipeline_capable()==False and swallows the whole estimate.
+        loglstar_round = max(loglstar, np.float64(LOWL_VAL))
+        self.update_bound_if_needed(loglstar_round, ncall=self.ncall)
         est = self._estimate_remaining(dlogz_eff, logl_max, loglstar)
         if est is not None and est_offset:
             est = max(est - est_offset, 0.0)
@@ -647,56 +656,24 @@ class Sampler:
             else:
                 rounds_active = max(1, int(math.floor(
                     0.7 * min(est, 2**30) / queue_size)))
-        # round boundary: refit triggers (may consume rstate via
-        # bootstrap; the refitted bound is pickled with the spec's
-        # effects, so restored specs skip this block entirely)
-        loglstar_round = max(loglstar, np.float64(LOWL_VAL))
-        self.update_bound_if_needed(loglstar_round, ncall=self.ncall)
         # per-dispatch key, with its seed retained so an interrupted
         # (or merely pre-launched) dispatch relaunches bit-exactly
         key_seed = int(self.rstate.integers(0, 2**63 - 1))
         return {"key_seed": key_seed, "queue_size": queue_size,
                 "rounds_active": rounds_active}
 
-    def _can_pipeline(self, dlogz_eff, logl_max, loglstar, entries_cur,
-                      iter_left, call_left):
-        """Gate for speculatively pre-launching the NEXT dispatch while
-        the current one is still in flight (dispatch pipelining).  Only
-        pre-launch when the next dispatch is overwhelmingly likely to be
-        consumed: speculation that straddles a stopping criterion
-        strands one dispatch of billed likelihood calls.  All inputs are
-        pickled state, so the decision replays identically on resume.
-        ``entries_cur`` is the in-flight dispatch's planned consumption
-        (the remaining-work estimate predates its launch)."""
+    def _pipeline_capable(self):
+        """Static preconditions for the eager (pre-yield-drain) launch
+        of the next dispatch."""
         if self.unit_cube_sampling:
-            # the first-update transition swaps the internal sampler at
-            # an unpredictable round boundary: stay synchronous
+            # the first-update transition swaps the internal sampler;
+            # the unit-cube phase is 1-2 chained dispatches anyway
             return False
         if getattr(self.loglikelihood, "mode", None) == "host":
             return False  # io_callback likelihoods stay synchronous
         if self.device_bound_kind() != "ellipsoids":
-            # friends/custom bounds take fresh host-side arrays every
-            # dispatch; ellipsoid stacks are pure device state
-            return False
-        est = self._estimate_remaining(dlogz_eff, logl_max, loglstar)
-        if est is None:
-            # no estimate = no stopping criterion in sight (infinite
-            # delta_logz and no bracket): speculation is safe
-            est_remain = float("inf")
-        else:
-            est_remain = est - entries_cur
-        q_full = getattr(self, "_q_full", self.queue_size)
-        # demand real headroom beyond the in-flight dispatch: at least
-        # 1.5 confident rounds of work, and clear of the estimate's own
-        # relative-error band near the end of the run
-        if est_remain < max(1.5 * q_full,
-                            0.15 * (est or 0.0)):
-            return False
-        if iter_left < (0 if est is None else est) + 2 * q_full \
-                or iter_left <= entries_cur + q_full:
-            return False
-        nc_per = max(getattr(self, "_nc_entry_ema", 1.0), 1.0)
-        if call_left < (entries_cur + 2 * q_full) * nc_per:
+            # friends/custom bounds take fresh host-side center arrays
+            # from the (lazily refreshed) live mirror at launch
             return False
         return True
 
@@ -852,7 +829,15 @@ class Sampler:
         rec_off = 1 + ndim + npdim
         dlogz_eff = -np.inf if dlogz is None else dlogz
         accepted_this_call = 0
-        terminal_break = False
+        # a natural (dlogz/logl_max/plateau) stop can leave pending
+        # yields to drain, and checkpoints fire during that drain: the
+        # stop itself must therefore be pickled state, or a resumed run
+        # would relaunch a dispatch (consuming an rstate draw the
+        # uninterrupted run never made) after the run already ended
+        if not resume:
+            self._terminal_done = False
+        terminal_break = bool(getattr(self, "_terminal_done", False)) \
+            and resume
 
         if getattr(self, "_integ", None) is not None and resume:
             st = self._integ
@@ -992,6 +977,7 @@ class Sampler:
                 n_real_limit = n_real
                 skip_off = 0
                 dispatch_key_seed = None
+                normal_dispatch = False
             elif self._continuation is not None:
                 # a budget stop interrupted a CHAINED dispatch mid-way:
                 # the interrupted round's tail was replayed above; now
@@ -1020,8 +1006,15 @@ class Sampler:
                                  time.perf_counter() - t_disp0)
                 self.timings.count("n_dispatch")
                 skip_off = cont["skip"] * self.queue_size
+                normal_dispatch = False
                 n_real_limit = min(len(out["accepts"]),
                                    cont["rounds"] * self.queue_size)
+                if out["done_reason"] & 32 and \
+                        not out["done_reason"] & 0b11111:
+                    # the device chain-stop gate ended the chain at a
+                    # round boundary: gated rounds never ran, so there
+                    # is nothing to keep as leftovers
+                    n_real_limit = skip_off + out["n_consumed"]
                 self.last_proposals_sharding = getattr(
                     out["proposals_dev"], "sharding", None)
             else:
@@ -1059,37 +1052,7 @@ class Sampler:
                 self.queue_size = spec["queue_size"]
                 dispatch_key_seed = spec["key_seed"]
                 rounds_active = handle["rounds_active"]
-
-                # ---- dispatch pipelining: speculatively pre-launch the
-                # NEXT dispatch from this one's un-synced device outputs
-                # (live state + control vector derived on device), so
-                # the device executes it while the host blocks on and
-                # consumes this dispatch's results.  The pre-launch spec
-                # is created with pre-consume state — exactly what a
-                # resumed run replays — and pickled as _next_spec.
-                entries_cur = rounds_active * self.queue_size
-                if self._can_pipeline(dlogz_eff, logl_max, loglstar,
-                                      entries_cur,
-                                      maxiter - accepted_this_call,
-                                      maxcall - ncall):
-                    t_pl0 = time.perf_counter()
-                    spec2 = self._make_dispatch_spec(
-                        dlogz_eff, logl_max, loglstar,
-                        est_offset=entries_cur)
-                    self.queue_size = spec2["queue_size"]
-                    axes2 = self.device_bound_arrays()
-                    key2 = jax.random.key(spec2["key_seed"])
-                    h2 = self.internal_sampler.launch_fused_derived(
-                        self, key2, handle, axes2,
-                        rounds_active=spec2["rounds_active"])
-                    h2["spec"] = spec2
-                    h2["bounditer"] = self.nbound - 1
-                    self._inflight = h2
-                    self._next_spec = spec2
-                    self.queue_size = spec["queue_size"]
-                    self.timings.add("prelaunch",
-                                     time.perf_counter() - t_pl0)
-                    self.timings.count("n_prelaunch")
+                normal_dispatch = True
 
                 skip_off = 0
                 t_disp0 = time.perf_counter()
@@ -1105,6 +1068,13 @@ class Sampler:
                 # kept as leftovers)
                 n_real_limit = min(len(out["accepts"]),
                                    rounds_active * self.queue_size)
+                if out["done_reason"] & 32 and \
+                        not out["done_reason"] & 0b11111:
+                    # device chain-stop gate (unit-cube first-update
+                    # trigger): the chain ended cleanly at a round
+                    # boundary — gated rounds never ran, nothing to
+                    # keep as leftovers
+                    n_real_limit = out["n_consumed"]
                 # update the per-entry call-cost EMA used by the
                 # pipelining budget gate (normal dispatches only: replay
                 # and continuation dispatches never ran in the
@@ -1249,6 +1219,7 @@ class Sampler:
                     warnings.warn("A likelihood plateau was reached; "
                                   "stopping the run.")
                 terminal_break = True
+                self._terminal_done = True
                 if self._leftover is not None:
                     # the run is over: bill the outstanding speculative
                     # work and drop it (exact terminal ncall)
@@ -1273,6 +1244,61 @@ class Sampler:
                     self.timings.count("nc_stranded_pipeline", spec_nc)
                     self._inflight = None
                 self._next_spec = None
+
+            # ---- eager launch of the NEXT dispatch: the spec is
+            # created with fresh post-consume state — identical to the
+            # lazy loop-top creation, since the yield drain below does
+            # not mutate sampling state — and the dispatch starts on
+            # the device BEFORE the expensive record-append/yield work,
+            # which then overlaps the device compute.  Launching here
+            # vs at the next loop top does not change the spec stream
+            # (bounds are refit from the SAME post-consume live state),
+            # so volatile budget state may gate the timing freely.
+            n_new_disp = int(np.sum(out["accepts"]))
+            extra_pre = max(out.get("nc_launched", 0) - out["nc_used"] -
+                            kept_nc, 0)
+            if per_dispatch:
+                drain_nc = out["nc_used"] + extra_pre
+            elif n_new_disp:
+                staged_e = int(np.sum(
+                    out["records"][out["accepts"], rec_off + 6]))
+                drain_nc = staged_e + extra_pre + \
+                    getattr(self, "_nc_carry", 0)
+            else:
+                drain_nc = 0
+            ncall_after = ncall + drain_nc
+            acc_after = accepted_this_call + n_new_disp
+            if (normal_dispatch and not terminal_break
+                    and self._leftover is None
+                    and self._continuation is None
+                    and self._pipeline_capable()
+                    and acc_after < maxiter and ncall_after < maxcall):
+                t_pl0 = time.perf_counter()
+                spec2 = self._make_dispatch_spec(dlogz_eff, logl_max,
+                                                 loglstar)
+                self._next_spec = spec2
+                self.queue_size = spec2["queue_size"]
+                axes2 = self.device_bound_arrays()
+                key2 = jax.random.key(spec2["key_seed"])
+                _upload_live()
+                # limits as the lazy loop-top launch would compute them
+                # AFTER the yield drain advances the budget counters
+                limits2 = np.array([
+                    float(dlogz_eff), float(logl_max),
+                    float(min(maxiter - acc_after, 2**30)),
+                    float(min(maxcall - ncall_after, 2**30)),
+                ])
+                h2 = self.internal_sampler.launch_fused(
+                    self, key2, self._live_dev, self._live_blob_dev,
+                    axes2, _integ_vec(), limits2,
+                    rounds_active=spec2["rounds_active"])
+                h2["spec"] = spec2
+                h2["bounditer"] = self.nbound - 1 \
+                    if not self.unit_cube_sampling else 0
+                self._inflight = h2
+                self.timings.add("prelaunch",
+                                 time.perf_counter() - t_pl0)
+                self.timings.count("n_prelaunch")
 
             # ---- append the round's records in bulk, stage the yields
             recs = np.asarray(out["records"], dtype=np.float64)

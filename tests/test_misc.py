@@ -263,7 +263,10 @@ def test_round_chaining_policy():
 
     assert UniformBoundSampler.max_rounds_per_dispatch == 1
     assert UniformBoundSampler.unif_max_chain == 8
-    assert UnitCubeSampler.max_rounds_per_dispatch == 1
+    # unit-cube rounds chain up to 8, guarded by the device-side
+    # first-update chain-stop gate (UnitCubeSampler.device_chain_stop_fn)
+    assert UnitCubeSampler.max_rounds_per_dispatch == 8
+    assert UnitCubeSampler(ndim=2).device_chain_stop_fn() is not None
     assert RWalkSampler.max_rounds_per_dispatch is None
     assert SliceSampler.max_rounds_per_dispatch is None
     assert RSliceSampler.max_rounds_per_dispatch is None
