@@ -35,6 +35,30 @@ import time
 import numpy as np
 
 REF_SECONDS = 109.2  # reference dynesty, same problem+config, this host
+
+# Provenance of the recorded reference denominators: if the current host
+# does not match this fingerprint the constants are STALE and the bench
+# re-measures the reference live (same effect as BENCH_MEASURE_REFERENCE=1)
+# so vs_baseline can never silently inherit another machine's numbers.
+REF_MEASURED_ON = "2026-08-16/17"
+REF_HOST_FINGERPRINT = "Intel(R) Xeon(R) Processor @ 2.10GHz/x1"
+
+
+def _host_fingerprint():
+    model = "unknown"
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return f"{model}/x{os.cpu_count()}"
+
+
+def _ref_constants_stale():
+    return _host_fingerprint() != REF_HOST_FINGERPRINT
 NDIM = 25
 NLIVE = 500
 QUEUE = 256
@@ -167,8 +191,10 @@ def bench_heavy():
     ceiling = _measure_device_ceiling(loglike, QUEUE)
 
     ref_seconds = HEAVY_REF_SECONDS
-    if os.environ.get("BENCH_MEASURE_REFERENCE"):
+    ref_provenance = f"recorded {REF_MEASURED_ON} on {REF_HOST_FINGERPRINT}"
+    if os.environ.get("BENCH_MEASURE_REFERENCE") or _ref_constants_stale():
         ref_seconds = _measure_reference_heavy()
+        ref_provenance = f"measured live on {_host_fingerprint()}"
 
     pull = float((res.logz[-1] - H_TRUTH) / res.logzerr[-1])
     ok = abs(pull) < 5
@@ -182,6 +208,7 @@ def bench_heavy():
         "logz_pull": round(pull, 2),
         "ncall": ncall,
         "ref_seconds": ref_seconds,
+        "ref_provenance": ref_provenance,
         "evals_per_s": round(evals_per_s, 1),
         "device_ceiling_evals_per_s": round(ceiling, 1),
         "duty_cycle": round(evals_per_s / ceiling, 4),
@@ -294,8 +321,10 @@ def main():
     res = sampler.results
 
     ref_seconds = REF_SECONDS
-    if os.environ.get("BENCH_MEASURE_REFERENCE"):
+    ref_provenance = f"recorded {REF_MEASURED_ON} on {REF_HOST_FINGERPRINT}"
+    if os.environ.get("BENCH_MEASURE_REFERENCE") or _ref_constants_stale():
         ref_seconds = _measure_reference()
+        ref_provenance = f"measured live on {_host_fingerprint()}"
 
     pull = float((res.logz[-1] - TRUTH) / res.logzerr[-1])
     ok = abs(pull) < 5
@@ -309,6 +338,7 @@ def main():
         "logz_pull": round(pull, 2),
         "ncall": int(np.sum(res.ncall)),
         "ref_seconds": ref_seconds,
+        "ref_provenance": ref_provenance,
         "timings": _round_timings(sampler.timings),
     }
     try:
