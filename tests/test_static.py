@@ -134,6 +134,36 @@ def test_eggbox():
     assert sampler.bound.nells > 1
 
 
+@pytest.mark.slow
+def test_eggbox_mean_pull():
+    """Multi-seed eggbox calibration gate: the per-seed 5-sigma gate above
+    cannot catch a systematic ~1-sigma logz offset on multimodal geometry
+    (the round-3 sweep measured mean pull +1.30 before the dispatch-loop
+    rework fixed it); the seed-averaged pull can.  12-seed calibration at
+    HEAD: mean +0.11, scatter 0.64 (examples/calibration.py), so a 1.0
+    gate is ~3 s.e. of headroom while still failing on a +1.3-class bias.
+    Reference truth 235.856: ``/root/reference/tests/test_egg.py:26``."""
+    tmax = 5.0 * np.pi
+
+    def loglike(x):
+        t = 2.0 * tmax * x - tmax
+        return (2.0 + jnp.cos(t[0] / 2.0) * jnp.cos(t[1] / 2.0)) ** 5.0
+
+    def ptform(u):
+        return u
+
+    pulls = []
+    for seed in (56432, 1001, 1002, 1003, 1004, 1005):
+        rstate = np.random.Generator(np.random.PCG64(seed))
+        sampler = dytpu.NestedSampler(loglike, ptform, 2, nlive=300,
+                                      bound="multi", sample="unif",
+                                      rstate=rstate, queue_size=128)
+        sampler.run_nested(print_progress=False, dlogz=0.01)
+        res = sampler.results
+        pulls.append((res.logz[-1] - 235.856) / res.logzerr[-1])
+    assert abs(np.mean(pulls)) < 1.0, pulls
+
+
 def test_generator_api():
     loglike, ptform = _make_gau()
     rstate = get_rstate()
