@@ -306,7 +306,8 @@ def main():
     # add-live sweep) is traced and compiled here; traces are shared
     # across sampler instances process-wide.  A budget-capped warm run
     # would skip the ctrl-derive compile: pipelined pre-launches are
-    # disabled under finite budgets (sampler._can_pipeline).
+    # disabled near finite budgets (sampler._pipeline_capable and the
+    # budget guard at the eager-launch site in sampler.sample).
     warm.run_nested(print_progress=False)
 
     rstate = np.random.Generator(np.random.PCG64(SEED))

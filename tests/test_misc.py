@@ -346,3 +346,22 @@ def test_timings_populated():
     dt = dns.timings
     assert dt["n_dispatch"] >= 2  # base run + at least one batch
     assert dt["dispatch"] > 0
+
+
+def test_pipelining_engages():
+    """Regression gate for ``_pipeline_capable``: an ellipsoid-bound
+    run with a traceable likelihood MUST actually pre-launch dispatches
+    (duty-cycle telemetry; a silent capability regression would
+    otherwise only show up as a bench slowdown), and a natural
+    (dlogz-terminated) stop must not strand pre-launched work."""
+    loglike, ptform = _gau()
+    s = dytpu.NestedSampler(loglike, ptform, NDIM, nlive=200,
+                            bound="single", sample="unif",
+                            rstate=get_rstate(), queue_size=32)
+    s.run_nested(print_progress=False)
+    t = s.timings
+    assert t.get("n_prelaunch", 0) >= 1, \
+        f"pipelined pre-launches never engaged: {dict(t)}"
+    # the run above terminated on dlogz: every pre-launched dispatch
+    # must have been consumed, not billed as stranded speculative work
+    assert t.get("nc_stranded_pipeline", 0) == 0
