@@ -126,3 +126,90 @@ def test_kmeans_grid():
     mell = db.bounding_ellipsoids(pts)
     assert mell.nells >= 10
     assert all(mell.contains(p) for p in pts)
+
+
+# ---------------------------------------------------------------------------
+# batched-forest vs scalar-recursion splitter equivalence
+#
+# MultiEllipsoid.update takes the batched breadth-first splitter when
+# pool is None and the scalar recursion when pooled; both realize the
+# SAME algorithm (reference ``bounding.py:1464-1563``), so pooled and
+# unpooled runs must traverse equivalent geometry.
+
+
+def _splitter_point_sets():
+    rs = np.random.Generator(np.random.PCG64(20260819))
+    sets = {}
+    # two well-separated gaussian blobs (clean 2-way split)
+    blob = np.vstack([rs.normal([0, 0], 0.05, size=(120, 2)),
+                      rs.normal([1, 1], 0.05, size=(120, 2))])
+    sets["blobs2d"] = blob
+    # four-cluster grid
+    ctrs = np.array(list(itertools.product([0.2, 0.8], repeat=2)))
+    sets["grid4"] = np.vstack([
+        rs.normal(c, 0.03, size=(80, 2)) for c in ctrs])
+    # thin 2-D annulus (the gaussian-shells geometry)
+    th = rs.uniform(0, 2 * np.pi, 400)
+    r = rs.normal(1.0, 0.02, 400)
+    sets["annulus"] = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    # 3-D torus-like ring
+    th = rs.uniform(0, 2 * np.pi, 500)
+    sets["ring3d"] = np.column_stack([
+        np.cos(th) + rs.normal(0, 0.05, 500),
+        np.sin(th) + rs.normal(0, 0.05, 500),
+        rs.normal(0, 0.05, 500)])
+    # single 5-D gaussian cloud (no split expected)
+    sets["cloud5d"] = rs.normal(0, 1.0, size=(200, 5))
+    # uniform 4-D cube
+    sets["cube4d"] = rs.uniform(0, 1, size=(300, 4))
+    return sets
+
+
+@pytest.mark.parametrize("name", sorted(_splitter_point_sets()))
+def test_batched_splitter_matches_scalar(name):
+    pts = _splitter_point_sets()[name]
+    scalar = db._bounding_ellipsoids(pts, db.bounding_ellipsoid(pts))
+    batched, expands = db._fit_multi_batched(pts)
+    assert expands == []
+    assert len(batched) == len(scalar), \
+        f"{name}: batched nells {len(batched)} != scalar {len(scalar)}"
+    # match ellipsoids by center ordering; volumes and centers agree
+    key_s = np.lexsort(np.array([e.ctr for e in scalar]).T)
+    key_b = np.lexsort(np.array([e.ctr for e in batched]).T)
+    for i_s, i_b in zip(key_s, key_b):
+        es, eb = scalar[i_s], batched[i_b]
+        assert np.allclose(es.ctr, eb.ctr, atol=1e-8)
+        assert abs(es.logvol - eb.logvol) < 1e-8
+        assert np.allclose(es.cov, eb.cov, atol=1e-8)
+    lv_s = db._logsumexp([e.logvol for e in scalar])
+    lv_b = db._logsumexp([e.logvol for e in batched])
+    assert abs(lv_s - lv_b) < 1e-8
+
+
+class _InlinePool:
+    """Minimal pool protocol: forces MultiEllipsoid.update onto the
+    scalar (pooled) code path without spawning processes."""
+
+    def map(self, fn, args):
+        return list(map(fn, args))
+
+
+@pytest.mark.parametrize("bootstrap", [0, 3])
+def test_multiellipsoid_update_pool_equivalence(bootstrap):
+    """Pooled and unpooled MultiEllipsoid.update must agree on the
+    decomposition (nells, logvol, bootstrap expansion) for the same
+    rstate: they run the scalar recursion and the batched forest
+    respectively."""
+    pts = _splitter_point_sets()["annulus"]
+    m_batched = db.MultiEllipsoid(pts.shape[1])
+    m_scalar = db.MultiEllipsoid(pts.shape[1])
+    rs1 = np.random.Generator(np.random.PCG64(42))
+    rs2 = np.random.Generator(np.random.PCG64(42))
+    m_batched.update(pts, rstate=rs1, bootstrap=bootstrap, pool=None)
+    m_scalar.update(pts, rstate=rs2, bootstrap=bootstrap,
+                    pool=_InlinePool())
+    assert m_batched.nells == m_scalar.nells
+    assert abs(m_batched.logvol - m_scalar.logvol) < 1e-6
+    assert abs(m_batched.last_expand - m_scalar.last_expand) < 1e-6
+    assert np.allclose(np.sort(m_batched.logvol_ells),
+                       np.sort(m_scalar.logvol_ells), atol=1e-6)
