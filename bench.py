@@ -220,7 +220,26 @@ def bench_heavy():
 
 def _round_timings(timings):
     return {k: (round(v, 3) if isinstance(v, float) else v)
-            for k, v in sorted(timings.items())}
+            for k, v in sorted(timings.items())
+            if not isinstance(v, list)}  # event lists stay out of JSON
+
+
+def _steady_state_duty(timings, ceiling):
+    """Duty cycle over the steady-state window: drop the first two and
+    the last dispatch marks (compile-cache probe, first refit, terminal
+    consume are one-time costs) and measure launched evals per second
+    between the remaining marks.  Returns (duty, n_window) or (None, 0)
+    when the run has too few dispatches to have a steady state."""
+    marks = timings.get("disp_marks", [])
+    if len(marks) < 5:
+        return None, 0
+    window = marks[2:]
+    t0 = marks[1][0]
+    dt = window[-1][0] - t0
+    nc = sum(m[1] for m in window)
+    if dt <= 0:
+        return None, 0
+    return (nc / dt) / ceiling, len(window)
 
 
 def _measure_reference_heavy():

@@ -673,10 +673,14 @@ def _kmeans2(points, start_ctrs, niter=10):
     updates (bincount) and early exit on label convergence."""
     ctrs = np.array(start_ctrs, dtype=np.float64)
     k, ndim = ctrs.shape
+    assert k == 2
     labels = None
+    # same halfspace form as _batched_kmeans2 (bit-identical labels, so
+    # the pooled/scalar and batched splitters stay equivalent)
     for _ in range(niter):
-        d2 = ((points[:, None, :] - ctrs[None, :, :]) ** 2).sum(axis=2)
-        new_labels = d2.argmin(axis=1)
+        dc = ctrs[0] - ctrs[1]
+        thresh = 0.5 * ((ctrs[0] ** 2).sum() - (ctrs[1] ** 2).sum())
+        new_labels = (points @ dc < thresh).astype(np.int64)
         if labels is not None and np.array_equal(new_labels, labels):
             break
         labels = new_labels
@@ -806,7 +810,7 @@ def _batched_fit(points_list):
     n = M.sum(axis=1).astype(np.float64)
     ctr = P.sum(axis=1) / n[:, None]
     delta = (P - ctr[:, None, :]) * M[:, :, None]
-    cov = np.einsum("bni,bnj->bij", delta, delta) / n[:, None, None]
+    cov = (delta.transpose(0, 2, 1) @ delta) / n[:, None, None]
     out = [None] * B
     evals = None
     try:
@@ -824,8 +828,8 @@ def _batched_fit(points_list):
         ev = evals[idx_fast]
         eV = evecs[idx_fast]
         am = np.einsum("bij,bj,bkj->bik", eV, 1.0 / ev, eV)
-        f = np.einsum("bni,bij,bnj->bn", delta[idx_fast], am,
-                      delta[idx_fast])
+        dlt = delta[idx_fast]
+        f = ((dlt @ am) * dlt).sum(axis=2)
         fmax = f.max(axis=1)
         mult = np.where(fmax > one_minus, fmax / one_minus, 1.0)
         cov_s = cov[idx_fast] * mult[:, None, None]
@@ -857,14 +861,20 @@ def _batched_kmeans2(P, M, ctrs0, niter=10):
     labels."""
     ctrs = np.array(ctrs0, dtype=np.float64)
     labels = None
+    # k=2: a point belongs to cluster 1 iff it is closer to ctr1, i.e.
+    # iff P.(c0-c1) < (|c0|^2-|c1|^2)/2 — one batched matvec per
+    # iteration instead of materializing the (B, n, 2, d) difference
     for _ in range(niter):
-        d2 = ((P[:, :, None, :] - ctrs[:, None, :, :]) ** 2).sum(axis=3)
-        new_labels = d2.argmin(axis=2)
+        dc = ctrs[:, 0, :] - ctrs[:, 1, :]
+        thresh = 0.5 * ((ctrs[:, 0, :] ** 2).sum(axis=1) -
+                        (ctrs[:, 1, :] ** 2).sum(axis=1))
+        proj = np.einsum("bnd,bd->bn", P, dc)
+        new_labels = (proj < thresh[:, None]).astype(np.int64)
         if labels is not None and np.array_equal(new_labels, labels):
             break
         labels = new_labels
-        w0 = ((labels == 0) & M).astype(np.float64)
-        w1 = ((labels == 1) & M).astype(np.float64)
+        w1 = (labels & M).astype(np.float64)
+        w0 = (~labels.astype(bool) & M).astype(np.float64)
         c0 = w0.sum(axis=1)
         c1 = w1.sum(axis=1)
         s0 = np.einsum("bn,bnd->bd", w0, P)

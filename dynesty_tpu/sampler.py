@@ -1092,6 +1092,12 @@ class Sampler:
             # ---- leftover bookkeeping (checkpoint-exact resume)
             t_cons0 = time.perf_counter()
             self.timings.count("nc_launched", out.get("nc_launched", 0))
+            # one event per fused dispatch, at results-consumed time:
+            # bench.py derives the steady-state duty-cycle window from
+            # the inter-mark gaps (first/last dispatches carry one-time
+            # costs a whole-run duty conflates with pipeline stalls)
+            self.timings.mark("disp_marks",
+                              (t_cons0, int(out.get("nc_launched", 0))))
             n_cons = min(out["n_consumed"], n_real_limit - skip_off)
             nc_col = ndim + npdim + 1  # nc column of the proposals block
             kept_nc = 0

@@ -62,12 +62,23 @@ class Timings(dict):
     def count(self, key, n=1):
         self[key] = self.get(key, 0) + n
 
+    def mark(self, key, entry):
+        """Append one event to a per-run event list (e.g.
+        ``disp_marks``: one ``(perf_counter, nc_launched)`` tuple per
+        fused dispatch, from which bench.py computes the steady-state
+        duty-cycle window)."""
+        self.setdefault(key, []).append(entry)
+
     def merge(self, other):
         """Accumulate another run's timings (the dynamic layer sums the
-        base run and every batch sampler into one view)."""
+        base run and every batch sampler into one view; event lists
+        concatenate)."""
         if other:
             for k, v in other.items():
-                self[k] = self.get(k, type(v)(0)) + v
+                if isinstance(v, list):
+                    self[k] = self.get(k, []) + v
+                else:
+                    self[k] = self.get(k, type(v)(0)) + v
         return self
 
 # machine-precision tolerance used by weight normalization checks
