@@ -26,6 +26,12 @@ from ..ops.integrals import progress_integration_jax
 __all__ = ["make_fused_round", "unpack_flat",
            "record_columns", "LIVE_EXTRA_COLS"]
 
+# Debug/test knob: build fused rounds WITHOUT the thin scalar consume
+# fast path (batch mode falls back to the general O(nlive)-carry scan
+# unconditionally).  Read at trace time; tests flip it (clearing the
+# round caches) to assert the two paths are bit-identical end to end.
+_FORCE_GENERAL_CONSUME = False
+
 # live matrix layout: u | v | logl | it | bound | birth  (floats; ints
 # stored as floats, exact below 2^24 in f32).  ``birth`` is the logl
 # threshold above which the point was drawn (-inf, clamped, for points
@@ -48,7 +54,7 @@ def record_columns(ndim, npdim):
 
 def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                      blob=False, rounds=1, tune_fn=None, mode="batch",
-                     mesh=None, chain_stop_fn=None):
+                     mesh=None, chain_stop_fn=None, gate_on_done=False):
     """Wrap a proposal round into a fused propose+consume device call.
 
     ``mode`` selects the batching semantics:
@@ -184,6 +190,20 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
 
         it0 = integ["it"]
 
+        # Batch-mode fast path precondition: with a strict q-th-order-
+        # statistic threshold (cand < lmax), every kernel proposal beats
+        # every victim (kernels propose STRICTLY above loglstar0 =
+        # sorted[q-1] >= each victim), so the round's deaths are exactly
+        # the q sorted-worst original live points, refilled slots can
+        # never die intra-round, and the consume scan's carry collapses
+        # to scalars (no O(nlive) reductions per step).  The general
+        # scan below stays the fallback for queue mode, replay rounds,
+        # and plateau-saturated thresholds.
+        thin_ok = None
+        if (mode == "batch" and kind != "replay"
+                and not _FORCE_GENERAL_CONSUME):
+            thin_ok = cand < lmax
+
         def body(carry, entry):
             (live_logl, occupant, logz, logzvar, h, logvol, loglstar,
              p_mode, p_counter, p_logdvol, n_acc, n_cons, nc_accum,
@@ -282,10 +302,124 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                 counters["nc_accum"], counters["nc_used"],
                 counters["done"], counters["reason"], kills0)
         lanes = jnp.arange(q, dtype=jnp.int32)
-        carry, outs = jax.lax.scan(body, init, (lanes, qlogl, qnc))
-        (live_logl_f, occupant_f, logz, logzvar, h, logvol, loglstar,
-         p_mode, p_counter, p_logdvol, n_acc, n_cons, nc_accum, nc_used,
-         done, reason, _racc) = carry
+
+        def run_general(_):
+            carry, outs = jax.lax.scan(body, init, (lanes, qlogl, qnc))
+            (_live_logl_f, _occupant_f, logz, logzvar, h, logvol,
+             loglstar, p_mode, p_counter, p_logdvol, n_acc, n_cons,
+             nc_accum, nc_used, done, reason, _racc) = carry
+            return ((logz, logzvar, h, logvol, loglstar, p_mode,
+                     p_counter, p_logdvol, n_acc, n_cons, nc_accum,
+                     nc_used, done, reason), outs)
+
+        def run_thin(_):
+            # deaths are exactly the q sorted-worst originals, in order;
+            # every proposal is accepted while the run is not done (see
+            # thin_ok above) — the scan carry is pure scalars.
+            victims = sort_idx[:q]
+            vict_logl = sorted_logl[:q]
+            # plateau count among CURRENT live at each kill step: refills
+            # sit strictly above every victim value, so only originals
+            # count — (# originals <= v_j) minus (j killed so far)
+            npl_pre = (jnp.searchsorted(
+                sorted_logl, vict_logl, side="right").astype(jnp.int32) -
+                jnp.arange(q, dtype=jnp.int32))
+
+            def tbody(carry, entry):
+                (logz, logzvar, h, logvol, loglstar, p_mode, p_counter,
+                 p_logdvol, n_acc, n_cons, nc_accum, nc_used, done,
+                 reason, racc, rmax) = carry
+                e_logl, e_nc, v_logl, npl = entry
+                n_now = (nlive - racc).astype(dtype)
+
+                delta_logz = jnp.logaddexp(0.0, rmax + logvol - logz)
+                causes = jnp.stack([
+                    delta_logz < limits["dlogz"],
+                    loglstar > limits["logl_max"],
+                    rmax == v_logl,
+                    n_acc >= limits["max_accepts"],
+                    nc_used >= limits["max_nc"],
+                ])
+                stop = jnp.any(causes)
+                first_stop = stop & ~done
+                reason = jnp.where(
+                    first_stop,
+                    jnp.sum(causes * (2 ** jnp.arange(5, dtype=jnp.int32))
+                            ).astype(jnp.int32),
+                    reason)
+                done = done | stop
+
+                loglstar_new = v_logl
+                enter = (~p_mode) & (npl > 1) & (~done)
+                p_counter = jnp.where(enter, npl, p_counter)
+                p_logdvol = jnp.where(enter,
+                                      -jnp.log(n_now + 1.0) + logvol,
+                                      p_logdvol)
+                p_mode = p_mode | enter
+                cur_dlv = jnp.where(
+                    p_mode, -jnp.log1p(-jnp.exp(p_logdvol - logvol)),
+                    jnp.log1p(1.0 / n_now))
+
+                accept = ~done  # e_logl > v_logl by construction
+                nc_entry = jnp.where(accept, e_nc, 0)
+                nc_this = nc_accum + nc_entry
+
+                logvol_new = logvol - cur_dlv
+                (logwt, logz_new, logzvar_new,
+                 h_new) = progress_integration_jax(
+                     loglstar, loglstar_new, logz, logzvar, logvol_new,
+                     cur_dlv, h)
+
+                logz = jnp.where(accept, logz_new, logz)
+                logzvar = jnp.where(accept, logzvar_new, logzvar)
+                h = jnp.where(accept, h_new, h)
+                logvol = jnp.where(accept, logvol_new, logvol)
+                loglstar = jnp.where(accept, loglstar_new, loglstar)
+                n_acc = n_acc + accept
+                n_cons = n_cons + accept
+                nc_used = nc_used + nc_entry
+                nc_accum = jnp.where(accept, 0, nc_this)
+                p_counter = jnp.where(accept & p_mode, p_counter - 1,
+                                      p_counter)
+                p_mode = p_mode & ~(p_mode & (p_counter == 0))
+                racc = racc + accept
+                rmax = jnp.where(accept, jnp.maximum(rmax, e_logl), rmax)
+
+                out = (accept, loglstar_new, logvol_new, logwt, logz_new,
+                       logzvar_new, h_new, nc_this, delta_logz, n_now)
+                return (logz, logzvar, h, logvol, loglstar, p_mode,
+                        p_counter, p_logdvol, n_acc, n_cons, nc_accum,
+                        nc_used, done, reason, racc, rmax), out
+
+            tinit = (integ["logz"], integ["logzvar"], integ["h"],
+                     integ["logvol"], integ["loglstar"],
+                     integ["plateau_mode"], integ["plateau_counter"],
+                     integ["plateau_logdvol"],
+                     counters["n_acc"], counters["n_cons"],
+                     counters["nc_accum"], counters["nc_used"],
+                     counters["done"], counters["reason"], kills0, lmax)
+            carry, touts = jax.lax.scan(tbody, tinit,
+                                        (qlogl, qnc, vict_logl, npl_pre))
+            (logz, logzvar, h, logvol, loglstar, p_mode, p_counter,
+             p_logdvol, n_acc, n_cons, nc_accum, nc_used, done, reason,
+             _racc, _rmax) = carry
+            (t_acc, t_logl, t_logvol, t_logwt, t_logz, t_logzvar, t_h,
+             t_nc, t_dlogz, t_n) = touts
+            outs = (victims, jnp.full((q,), -1, jnp.int32), t_acc,
+                    t_logl, t_logvol, t_logwt, t_logz, t_logzvar, t_h,
+                    t_nc, t_dlogz, t_n)
+            return ((logz, logzvar, h, logvol, loglstar, p_mode,
+                     p_counter, p_logdvol, n_acc, n_cons, nc_accum,
+                     nc_used, done, reason), outs)
+
+        if thin_ok is None:
+            scalars, outs = run_general(None)
+        else:
+            scalars, outs = jax.lax.cond(thin_ok, run_thin, run_general,
+                                         None)
+        (logz, logzvar, h, logvol, loglstar, p_mode, p_counter,
+         p_logdvol, n_acc, n_cons, nc_accum, nc_used, done,
+         reason) = scalars
         (worsts, srcs, accepts, r_logl, r_logvol, r_logwt, r_logz,
          r_logzvar, r_h, r_nc, r_dlogz, r_n) = outs
 
@@ -417,14 +551,24 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         def round_step(carry, rinp):
             rkey, ridx = rinp
             # rounds past the runtime cap are skipped entirely via
-            # lax.cond (no likelihood work, nothing billed).  Rounds
-            # after an in-flight stopping cause still propose (their
-            # work is billed as stranded speculation); gating them on
-            # the carried done flag was measured ~30% slower on the
-            # 25-D benchmark — a carry-dependent cond blocks XLA's
-            # scan pipelining — for zero call savings, since the
-            # host's est-based rounds_active already bounds overshoot.
+            # lax.cond (no likelihood work, nothing billed).  For
+            # ungated programs, rounds after an in-flight stopping cause
+            # still propose (their work is billed as stranded
+            # speculation); gating them on the carried done flag was
+            # measured ~30% slower for the MCMC kernels on the 25-D
+            # benchmark — a carry-dependent cond blocks XLA's scan
+            # pipelining — for zero call savings, since the host's
+            # est-based rounds_active already bounds overshoot.  The
+            # rejection kernels (``gate_on_done``) are different: their
+            # wave while_loop is already carry-dependent (no pipelining
+            # to lose) and a stranded round costs a full fill of billed
+            # evaluations, so they skip every round past the stop —
+            # which lets the host chain rounds deep into the endgame
+            # without stranding work.
             forced_off = (ridx >= rounds_active) | (ridx < rounds_skip)
+            if gate_on_done and chain_stop_fn is None:
+                counters_c = carry[3]
+                forced_off = forced_off | counters_c["done"]
             if chain_stop_fn is not None:
                 # evaluate the chain-stop trigger at the round boundary
                 # (host-check cadence); once fired — or once the round

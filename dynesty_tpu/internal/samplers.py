@@ -65,6 +65,13 @@ class InternalSampler:
     # short (None = use the sampler's rounds_per_dispatch unchanged).
     max_rounds_per_dispatch = None
 
+    # Skip chained rounds past an in-flight stopping cause entirely
+    # (fused.py gate_on_done).  On for the rejection kernels, whose
+    # stranded rounds bill a full fill of evaluations; off for the MCMC
+    # kernels, where the carry-dependent cond costs XLA scan pipelining
+    # and the host's est-based rounds_active already bounds overshoot.
+    gate_rounds_on_done = False
+
     def __init__(self, **kwargs):
         self.scale = 1.0
         self.input_kwargs = kwargs
@@ -195,7 +202,8 @@ class InternalSampler:
             npdim=ns.loglikelihood.npdim, q=ns.queue_size,
             dtype=ns.dtype, blob=ns.blob, rounds=rounds,
             tune_fn=self.device_tune_fn(), mode=mode, mesh=mesh,
-            chain_stop_fn=self.device_chain_stop_fn())
+            chain_stop_fn=self.device_chain_stop_fn(),
+            gate_on_done=self.gate_rounds_on_done)
         self._round_cache[cfg] = entry
         if gkey is not None:
             _GLOBAL_ROUND_CACHE[gkey] = entry
@@ -552,6 +560,7 @@ class UniformBoundSampler(InternalSampler):
     ('unif')."""
 
     name = "unif"
+    gate_rounds_on_done = True
     # Rejection efficiency tracks how tightly the bound hugs the
     # constrained region, so stale bounds are expensive: without a
     # per-round refit, chaining rounds was measured to cost far more in

@@ -639,23 +639,23 @@ class Sampler:
         # tuning runs on device), while the rejection-efficiency-
         # sensitive uniform kernels get device-side per-round refits
         # (ellipsoid stacks) or never chain.
-        if est is None:
+        gated = getattr(self.internal_sampler, "gate_rounds_on_done",
+                        False) and not self.unit_cube_sampling
+        if gated:
+            # the device skips every chained round past an in-flight
+            # stopping cause (fused.py gate_on_done), so overshoot
+            # proposes and bills NOTHING: chain the full compiled depth
+            # and let the device end the run/batch.  The endgame then
+            # costs O(1) dispatches instead of one est-sized dispatch
+            # per shrinking remainder, and a terminal stop strands at
+            # most the crossing round's own tail — exactly as an
+            # est-sized dispatch would.
+            rounds_active = None
+        elif est is None:
             rounds_active = None
         else:
             rounds_active = max(1, int(math.ceil(
                 (min(est, 2**30) + queue_size // 2) / queue_size)))
-        if np.isfinite(logl_max) and getattr(
-                self.internal_sampler, "name", "") == "unif":
-            # bracketed (dynamic-batch) uniform runs: chain only rounds
-            # that are CONFIDENTLY needed (round down with margin) — a
-            # round proposed past the logl_max stop is a full wave loop
-            # of stranded billed work, which costs far more calls than
-            # an extra dispatch costs latency
-            if est is None:
-                rounds_active = 1
-            else:
-                rounds_active = max(1, int(math.floor(
-                    0.7 * min(est, 2**30) / queue_size)))
         # per-dispatch key, with its seed retained so an interrupted
         # (or merely pre-launched) dispatch relaunches bit-exactly
         key_seed = int(self.rstate.integers(0, 2**63 - 1))
