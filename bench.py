@@ -69,13 +69,20 @@ TRUTH = -NDIM * np.log(20.0)
 
 # -- heavy-likelihood benchmark (3-D correlated Gaussian + matvec chain) --
 H_NDIM = 3
-H_NLIVE = 500
+# nlive deep enough that the timed run spans >=10 dispatches at 12
+# chained rounds x 256 lanes — the whole-run duty cycle then measures
+# steady-state dispatch behavior instead of one-time costs (compile
+# probe, first refit, terminal consume), and a steady-state-window duty
+# is reported alongside it (round-4 verdict: at nlive=500 the run fit
+# in 2 dispatches and saturated as an instrument)
+H_NLIVE = 3000
 H_WIDTH = 256  # matvec chain width
 H_LAYERS = 384  # chain depth; ~6 ms/call in numpy on one CPU core
 H_TRUTH = -H_NDIM * np.log(20.0)  # 1e-6 tanh perturbation is negligible
-H_ROUNDS = 24  # explicit: lifts the unif chain cap (expensive likelihood)
-HEAVY_REF_SECONDS = 104.3  # reference dynesty, heavy 3-D, this host
-# (measured 2026-08-17: multi/unif nlive=500 with the depth-384 chain)
+H_ROUNDS = 12  # explicit: lifts the unif chain cap (expensive likelihood)
+HEAVY_REF_SECONDS = None  # reference dynesty, heavy 3-D, this host
+# (None = measure live once and print it; replace with the recorded
+# constant after the first measurement on a new host fingerprint)
 
 
 def _heavy_weights():
@@ -192,12 +199,14 @@ def bench_heavy():
 
     ref_seconds = HEAVY_REF_SECONDS
     ref_provenance = f"recorded {REF_MEASURED_ON} on {REF_HOST_FINGERPRINT}"
-    if os.environ.get("BENCH_MEASURE_REFERENCE") or _ref_constants_stale():
+    if (ref_seconds is None or os.environ.get("BENCH_MEASURE_REFERENCE")
+            or _ref_constants_stale()):
         ref_seconds = _measure_reference_heavy()
         ref_provenance = f"measured live on {_host_fingerprint()}"
 
     pull = float((res.logz[-1] - H_TRUTH) / res.logzerr[-1])
     ok = abs(pull) < 5
+    duty_steady, n_window = _steady_state_duty(sampler.timings, ceiling)
     return {
         "metric": "wallclock_3d_heavy_matvec_chain",
         "value": round(elapsed, 2),
@@ -207,11 +216,17 @@ def bench_heavy():
         "logzerr": round(float(res.logzerr[-1]), 3),
         "logz_pull": round(pull, 2),
         "ncall": ncall,
-        "ref_seconds": ref_seconds,
+        "ref_seconds": round(ref_seconds, 1),
         "ref_provenance": ref_provenance,
         "evals_per_s": round(evals_per_s, 1),
         "device_ceiling_evals_per_s": round(ceiling, 1),
         "duty_cycle": round(evals_per_s / ceiling, 4),
+        # duty over the steady-state dispatch window (first two and last
+        # dispatch marks dropped: compile-cache probe, first refit and
+        # terminal consume are one-time costs)
+        "duty_cycle_steady": (round(duty_steady, 4)
+                              if duty_steady is not None else None),
+        "steady_window_dispatches": n_window,
         # per-run wall-clock attribution (dispatch-latency accounting):
         # where the non-device remainder of the duty cycle goes
         "timings": _round_timings(sampler.timings),

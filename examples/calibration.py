@@ -29,7 +29,8 @@ import numpy as np
 ALL_SEEDS = (56432, 1001, 1002, 1003, 1004, 1005,
              1006, 1007, 1008, 1009, 1010, 1011)
 
-TRUTHS = {"eggbox": 235.856, "shells": -1.75, "dynamic3": None}
+TRUTHS = {"eggbox": 235.856, "eggboxgate": 235.856, "shells": -1.75,
+          "dynamic3": None}
 # dynamic3 truth filled from the problem instance (depends on cov)
 
 
@@ -40,7 +41,8 @@ def _emit(fh, rec):
     fh.flush()
 
 
-def _ours_static(row, fh, seeds, dtype_name, mode):
+def _ours_static(row, fh, seeds, dtype_name, mode, nlive=1000,
+                 queue_size=256):
     import jax
     import jax.numpy as jnp
     import dynesty_tpu as dytpu
@@ -49,15 +51,15 @@ def _ours_static(row, fh, seeds, dtype_name, mode):
     if dtype_name == "f64" and not jax.config.x64_enabled:
         raise RuntimeError("f64 arm needs JAX_ENABLE_X64=1")
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
-    prob = Eggbox() if row == "eggbox" else GaussianShells()
-    dlogz = 0.01 if row == "eggbox" else 0.05
+    prob = Eggbox() if row.startswith("eggbox") else GaussianShells()
+    dlogz = 0.01 if row.startswith("eggbox") else 0.05
     truth = TRUTHS[row]
     label = f"{row}_{dtype_name}_{mode}"
 
     def factory(rstate):
         return dytpu.NestedSampler(prob.loglike, prob.ptform, 2,
-                                   nlive=1000, bound="multi",
-                                   sample="unif", queue_size=256,
+                                   nlive=nlive, bound="multi",
+                                   sample="unif", queue_size=queue_size,
                                    rstate=rstate, dtype=dtype,
                                    proposal_mode=mode)
 
@@ -124,16 +126,30 @@ def _ref_static(row, fh, seeds):
                    "wall_s": round(time.time() - t0, 2)})
 
 
-def _dynamic3_ours(fh, seeds, dtype_name="f32"):
+def _dynamic3_ours(fh, seeds, impl="f32"):
+    """Arms (round-5 over-dispersion decomposition, VERDICT item 9):
+
+    * ``f32``/``f64`` — defaults (stop function decides the batches).
+    * ``nostop`` — ``use_stop=False`` with a fixed 6-batch budget:
+      removes stop-function-induced run-length variability.
+    * ``jitter`` — defaults, but the pull uses a jitter-realization
+      logzerr (std of logz over 50 ``jitter_run`` draws) instead of the
+      sawtooth estimate: if this calibrates the scatter to ~1, the
+      excess width is logzerr underestimation, not batch targeting.
+    """
     import jax
     import jax.numpy as jnp
     import dynesty_tpu as dytpu
     from dynesty_tpu.models import CorrelatedGaussian
 
     prob = CorrelatedGaussian(ndim=3)
+    dtype_name = "f64" if impl == "f64" else "f32"
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
     if dtype_name == "f64" and not jax.config.x64_enabled:
         raise RuntimeError("f64 arm needs JAX_ENABLE_X64=1")
+    run_kw = {}
+    if impl == "nostop":
+        run_kw = dict(use_stop=False, maxbatch=6)
 
     def factory(rstate):
         return dytpu.DynamicNestedSampler(prob.loglike, prob.ptform, 3,
@@ -142,19 +158,28 @@ def _dynamic3_ours(fh, seeds, dtype_name="f32"):
                                           dtype=dtype)
 
     warm = factory(np.random.Generator(np.random.PCG64(1)))
-    warm.run_nested(print_progress=False)
+    warm.run_nested(print_progress=False, **run_kw)
     for seed in seeds:
         t0 = time.time()
         s = factory(np.random.Generator(np.random.PCG64(seed)))
-        s.run_nested(print_progress=False)
+        s.run_nested(print_progress=False, **run_kw)
         res = s.results
         logz, err = float(res.logz[-1]), float(res.logzerr[-1])
-        _emit(fh, {"impl": f"dynamic3_{dtype_name}", "seed": seed,
-                   "logz": round(logz, 3), "logzerr": round(err, 3),
-                   "pull": round((logz - prob.logz_truth) / err, 2),
-                   "ncall": int(np.sum(res.ncall)),
-                   "n_batches": int(len(res.batch_logl_bounds)),
-                   "wall_s": round(time.time() - t0, 2)})
+        rec = {"impl": f"dynamic3_{impl}", "seed": seed,
+               "logz": round(logz, 3), "logzerr": round(err, 3),
+               "pull": round((logz - prob.logz_truth) / err, 2),
+               "ncall": int(np.sum(res.ncall)),
+               "n_batches": int(len(res.batch_logl_bounds)),
+               "wall_s": round(time.time() - t0, 2)}
+        if impl == "jitter":
+            from dynesty_tpu.utils.runs import jitter_run
+            rj = np.random.Generator(np.random.PCG64(seed + 777))
+            zs = [float(jitter_run(res, rstate=rj).logz[-1])
+                  for _ in range(50)]
+            err_j = float(np.std(zs))
+            rec["logzerr_jitter"] = round(err_j, 3)
+            rec["pull"] = round((logz - prob.logz_truth) / err_j, 2)
+        _emit(fh, rec)
 
 
 def _dynamic3_ref(fh, seeds):
@@ -242,6 +267,11 @@ if __name__ == "__main__":
                 _ours_static(row, fh, seeds, "f32", "queue")
             else:
                 _ours_static(row, fh, seeds, impl, "batch")
+        elif row == "eggboxgate":
+            # the slow-tier mean-pull gate's exact configuration
+            # (tests/test_static.py::test_eggbox_mean_pull)
+            _ours_static(row, fh, seeds, impl, "batch", nlive=300,
+                         queue_size=128)
         elif row == "dynamic3":
             if impl == "ref":
                 _dynamic3_ref(fh, seeds)
