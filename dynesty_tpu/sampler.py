@@ -451,26 +451,30 @@ class Sampler:
             return "custom"
         return spec[0]
 
-    def device_bound_arrays(self):
+    def device_bound_arrays(self, bound=None, version=None):
         """Device upload of the active bound's arrays, cached per refit
-        (uploads are expensive on relayed devices)."""
+        (uploads are expensive on relayed devices).  ``bound``/``version``
+        override the active bound — used when resuming a pickled
+        pre-launch spec that was planned on a since-refitted bound."""
         import jax.numpy as jnp
 
         from .internal.kernels import pad_ellipsoids
 
         kind = self.device_bound_kind()
+        src = bound if bound is not None else self.bound
+        ver = version if bound is not None else self.bound_version
         if kind == "cube":
             return {}
         if kind == "custom":
             import jax.numpy as jnp
-            axes = np.asarray(self.bound.get_random_axes(self.rstate))
+            axes = np.asarray(src.get_random_axes(self.rstate))
             return {"axes": jnp.asarray(axes)}
         cached = getattr(self, "_bound_upload", None)
-        if cached is not None and cached[0] == self.bound_version and \
+        if cached is not None and cached[0] == ver and \
                 cached[1] == kind:
             dev = cached[2]
         else:
-            _, arrays = self.bound.device_spec()
+            _, arrays = src.device_spec()
             if kind == "ellipsoids":
                 arrays = pad_ellipsoids(arrays["ctrs"], arrays["axes"],
                                         arrays["ams"], arrays["logvols"])
@@ -478,15 +482,15 @@ class Sampler:
                 # linear factor: applied by the device-side per-round
                 # refit that keeps chained uniform rounds fresh
                 arrays["expand"] = np.float64(
-                    getattr(self.bound, "last_expand", 1.0) *
+                    getattr(src, "last_expand", 1.0) *
                     self.bound_enlarge ** (1.0 / self.ncdim))
             else:
                 arrays = dict(arrays)
             dev = {k: jnp.asarray(v) for k, v in arrays.items()}
-            self._bound_upload = (self.bound_version, kind, dev)
+            self._bound_upload = (ver, kind, dev)
         if kind in ("balls", "cubes"):
             dev = dict(dev)
-            dev["ctrs"] = jnp.asarray(np.asarray(self.bound.ctrs))
+            dev["ctrs"] = jnp.asarray(np.asarray(src.ctrs))
         return dev
 
     def _live_packed(self):
@@ -584,7 +588,7 @@ class Sampler:
         return est
 
     def _make_dispatch_spec(self, dlogz_eff, logl_max, loglstar,
-                            est_offset=0):
+                            est_offset=0, refit=True):
         """Plan one fused dispatch: choose the dispatch width and
         active-round cap from the remaining-work estimate, run the
         round-boundary bound-refit triggers (the ONLY place host refits
@@ -598,6 +602,15 @@ class Sampler:
         consume before this one runs (pipelined pre-launches plan with
         an estimate that is stale by one dispatch).
 
+        ``refit=False`` (pipelined pre-launch path) plans the dispatch
+        on the CURRENT bound and leaves the refit trigger to the caller,
+        which runs it AFTER issuing the launch — the host refit then
+        overlaps the pre-launched dispatch's device execution instead of
+        idling the device.  The caller snapshots the bound into the spec
+        (``bound_used``/``bounditer``) so a checkpoint taken after the
+        deferred refit still relaunches the dispatch on the bound it was
+        actually planned with.
+
         NOTE: the maxiter/maxcall budgets must NOT shape the dispatch
         (width or active rounds) for the same reason: a maxiter stop
         therefore strands at most one dispatch of speculative work,
@@ -610,7 +623,8 @@ class Sampler:
         # otherwise the first post-transition dispatch is sized with
         # _pipeline_capable()==False and swallows the whole estimate.
         loglstar_round = max(loglstar, np.float64(LOWL_VAL))
-        self.update_bound_if_needed(loglstar_round, ncall=self.ncall)
+        if refit:
+            self.update_bound_if_needed(loglstar_round, ncall=self.ncall)
         est = self._estimate_remaining(dlogz_eff, logl_max, loglstar)
         if est is not None and est_offset:
             est = max(est - est_offset, 0.0)
@@ -1032,9 +1046,23 @@ class Sampler:
                             dlogz_eff, logl_max, loglstar)
                         self._next_spec = spec
                     self.queue_size = spec["queue_size"]
-                    bounditer = self.nbound - 1 \
-                        if not self.unit_cube_sampling else 0
-                    axes_args = self.device_bound_arrays()
+                    # a pickled pre-launch spec carries the bound it was
+                    # planned on (the refit that followed its original
+                    # launch has already mutated self.bound): relaunch on
+                    # the snapshot so the resumed dispatch is
+                    # bit-identical to the one the uninterrupted run
+                    # consumed
+                    if spec.get("bound_used") is not None and \
+                            spec.get("bound_version_used") != \
+                            self.bound_version:
+                        bounditer = spec["bounditer"]
+                        axes_args = self.device_bound_arrays(
+                            bound=spec["bound_used"],
+                            version=spec["bound_version_used"])
+                    else:
+                        bounditer = self.nbound - 1 \
+                            if not self.unit_cube_sampling else 0
+                        axes_args = self.device_bound_arrays()
                     key = jax.random.key(spec["key_seed"])
                     _upload_live()
                     handle = self.internal_sampler.launch_fused(
@@ -1280,8 +1308,19 @@ class Sampler:
                     and self._pipeline_capable()
                     and acc_after < maxiter and ncall_after < maxcall):
                 t_pl0 = time.perf_counter()
+                # plan and LAUNCH on the current bound, then run the
+                # refit trigger: the host refit (the single biggest
+                # host cost at large nlive) overlaps the pre-launched
+                # dispatch's device execution instead of idling the
+                # device.  The planned bound is snapshotted into the
+                # pickled spec so a checkpoint taken after the deferred
+                # refit relaunches this dispatch bit-identically.
                 spec2 = self._make_dispatch_spec(dlogz_eff, logl_max,
-                                                 loglstar)
+                                                 loglstar, refit=False)
+                spec2["bounditer"] = self.nbound - 1 \
+                    if not self.unit_cube_sampling else 0
+                spec2["bound_version_used"] = self.bound_version
+                spec2["bound_used"] = copy.deepcopy(self.bound)
                 self._next_spec = spec2
                 self.queue_size = spec2["queue_size"]
                 axes2 = self.device_bound_arrays()
@@ -1299,12 +1338,16 @@ class Sampler:
                     axes2, _integ_vec(), limits2,
                     rounds_active=spec2["rounds_active"])
                 h2["spec"] = spec2
-                h2["bounditer"] = self.nbound - 1 \
-                    if not self.unit_cube_sampling else 0
+                h2["bounditer"] = spec2["bounditer"]
                 self._inflight = h2
                 self.timings.add("prelaunch",
                                  time.perf_counter() - t_pl0)
                 self.timings.count("n_prelaunch")
+                # deferred round-boundary refit trigger (overlapped with
+                # the pre-launched dispatch's device work; see above)
+                self.update_bound_if_needed(
+                    max(loglstar, np.float64(LOWL_VAL)),
+                    ncall=self.ncall)
 
             # ---- append the round's records in bulk, stage the yields
             recs = np.asarray(out["records"], dtype=np.float64)
