@@ -80,9 +80,10 @@ H_WIDTH = 256  # matvec chain width
 H_LAYERS = 384  # chain depth; ~6 ms/call in numpy on one CPU core
 H_TRUTH = -H_NDIM * np.log(20.0)  # 1e-6 tanh perturbation is negligible
 H_ROUNDS = 12  # explicit: lifts the unif chain cap (expensive likelihood)
-HEAVY_REF_SECONDS = None  # reference dynesty, heavy 3-D, this host
-# (None = measure live once and print it; replace with the recorded
-# constant after the first measurement on a new host fingerprint)
+HEAVY_REF_SECONDS = 705.8  # reference dynesty, heavy 3-D (nlive=3000,
+# depth-384 chain, ~6 ms/call), measured live 2026-08-20 on the
+# fingerprinted host below (ncall-equivalent config; stale-fingerprint
+# hosts re-measure automatically)
 
 
 def _heavy_weights():
