@@ -4,7 +4,7 @@ reference measurement — fast feedback for dispatch-pipeline work.
 Prints the run wall-clock, whole-run and steady-state duty cycles and
 the full Timings dict, plus inter-dispatch gap marks.
 
-Usage: python examples/duty_probe.py [nlive] [rounds] [headline]
+Usage: python examples/duty_probe.py [nlive] [rounds] [queue]
 """
 
 import json
@@ -24,13 +24,14 @@ def main():
 
     nlive = int(sys.argv[1]) if len(sys.argv) > 1 else bench.H_NLIVE
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else bench.H_ROUNDS
+    queue = int(sys.argv[3]) if len(sys.argv) > 3 else bench.QUEUE
 
     loglike = bench._heavy_loglike_jax()
     warm = dytpu.NestedSampler(loglike, bench._heavy_ptform, bench.H_NDIM,
                                nlive=nlive, bound="multi", sample="unif",
                                rstate=np.random.Generator(
                                    np.random.PCG64(1)),
-                               queue_size=bench.QUEUE,
+                               queue_size=queue,
                                rounds_per_dispatch=rounds)
     warm.run_nested(print_progress=False)
 
@@ -38,19 +39,19 @@ def main():
     t0 = time.time()
     s = dytpu.NestedSampler(loglike, bench._heavy_ptform, bench.H_NDIM,
                             nlive=nlive, bound="multi", sample="unif",
-                            rstate=rstate, queue_size=bench.QUEUE,
+                            rstate=rstate, queue_size=queue,
                             rounds_per_dispatch=rounds)
     s.run_nested(print_progress=False)
     elapsed = time.time() - t0
     res = s.results
     ncall = int(s.ncall)
-    ceiling = bench._measure_device_ceiling(loglike, bench.QUEUE)
+    ceiling = bench._measure_device_ceiling(loglike, queue)
     duty_steady, n_window = bench._steady_state_duty(s.timings, ceiling)
     marks = s.timings.get("disp_marks", [])
     gaps = [round((marks[i][0] - marks[i - 1][0]) * 1e3, 1)
             for i in range(1, len(marks))]
     out = {
-        "nlive": nlive, "rounds": rounds,
+        "nlive": nlive, "rounds": rounds, "queue": queue,
         "wall_s": round(elapsed, 3),
         "ncall": ncall,
         "logz": round(float(res.logz[-1]), 3),
