@@ -49,6 +49,10 @@ def run_ours(seed):
                             rstate=np.random.Generator(
                                 np.random.PCG64(seed)))
     s.run_nested(dlogz=0.05, print_progress=False, save_bounds=True)
+    _emit({"impl": "ours", "seed": seed,
+           "nc_waste": int(getattr(s, "nc_waste_total", 0)),
+           "n_dispatch": int(s.timings.get("n_dispatch", 0)),
+           "n_refit": int(s.timings.get("n_refit", 0))})
     return s.results, s.bound_list
 
 
