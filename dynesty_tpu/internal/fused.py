@@ -54,7 +54,8 @@ def record_columns(ndim, npdim):
 
 def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
                      blob=False, rounds=1, tune_fn=None, mode="batch",
-                     mesh=None, chain_stop_fn=None, gate_on_done=False):
+                     mesh=None, chain_stop_fn=None, gate_on_done=False,
+                     pass_nc_budget=False):
     """Wrap a proposal round into a fused propose+consume device call.
 
     ``mode`` selects the batching semantics:
@@ -203,6 +204,10 @@ def make_fused_round(propose_fn, *, kind, nlive, ndim, npdim, q, dtype,
         if (mode == "batch" and kind != "replay"
                 and not _FORCE_GENERAL_CONSUME):
             thin_ok = cand < lmax
+            # partially-filled rounds (nc-budget/max_waves cutoffs mark
+            # unfilled slots logl=-inf) violate the every-proposal-beats-
+            # every-victim invariant: take the general scan
+            thin_ok = thin_ok & (jnp.min(qlogl) > loglstar0)
 
         def body(carry, entry):
             (live_logl, occupant, logz, logzvar, h, logvol, loglstar,

@@ -334,6 +334,16 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
     # compiled programs, and max_waves bounds any single dispatch.
 
     def round_fn(key, loglstar, arrays):
+        # optional per-round call budget (the host bound-refit cadence,
+        # fused.py pass_nc_budget): once the round's cumulative calls
+        # cross it, stop filling and return the round PARTIALLY filled
+        # (unfilled slots carry logl=-inf, consumed by the general scan
+        # as non-accepts).  This caps the exposure to a stale/bloated
+        # bound at ~one refit interval of calls — the reference's
+        # per-iteration update check gives the same bound (its queue
+        # fill also overshoots by at most the in-flight wave).
+        nc_budget = arrays.get("nc_budget") \
+            if isinstance(arrays, dict) else None
         u0, v0, logl0, blob0 = _zeros_like_batch(like, q, ndim, dtype)
         nc0 = jnp.zeros((q,), jnp.int32)
         if constrain is not None:
@@ -345,8 +355,13 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
                 if blob0 is not None else None
 
         def cond(carry):
-            (_, n_filled, waves, _, _, _, _) = carry[:7]
-            return (n_filled < q) & (waves < max_waves)
+            (_, n_filled, waves, nc, _, _, _) = carry[:7]
+            ok = (n_filled < q) & (waves < max_waves)
+            if nc_budget is not None:
+                # always run wave 1 (guaranteed progress per dispatch)
+                ok = ok & ((nc.astype(nc_budget.dtype) < nc_budget)
+                           | (waves == 0))
+            return ok
 
         def body(carry):
             key, n_filled, waves, nc, n_prop, pending, bufs = carry
@@ -421,6 +436,11 @@ def make_unif_round(like, *, ndim, ncdim, q, bound_kind, nonbounded=None,
         # a failed fill (max_waves hit) leaves unflushed evaluations:
         # charge them to slot 0 so sum(per-slot nc) == total nc always
         bnc = bnc.at[0].add(pending)
+        # partial fill (budget/max_waves): unfilled slots must read as
+        # rejected proposals downstream, whatever the buffer zeros mean
+        # for the problem's logl range
+        bl = jnp.where(jnp.arange(q) < n_filled, bl,
+                       jnp.asarray(-jnp.inf, bl.dtype))
         packed = pack_columns(q, dtype, bu, bv, bl, bnc, nc, n_prop,
                               n_filled)
         return packed, bb

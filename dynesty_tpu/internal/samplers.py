@@ -240,7 +240,12 @@ class InternalSampler:
                              float(getattr(ns, "first_bound_update_ncall",
                                            0.0)),
                              float(getattr(ns, "first_bound_update_eff",
-                                           0.0))]]),
+                                           0.0)),
+                             # [21] absolute ncall at which the next host
+                             # decomposition refit is due (the reference's
+                             # bound_update_interval cadence,
+                             # sampler.py:625-674); 2^30 disarms the gate
+                             self._refit_due_ncall(ns)]]),
             nested_sampler.dtype)
         return self._launch(fused_fn, layout, key, live_packed, live_blob,
                             axes_args, ctrl, rounds_active)
@@ -362,6 +367,31 @@ class InternalSampler:
         every chained round's start; True stops the chain (later rounds
         run nothing and bill nothing).  None = no gate."""
         return None
+
+    # Stop the round chain once the host's ncall-cadence bound refit is
+    # due (reference ``sampler.py:625-674`` checks at every queue
+    # drain).  Opt-in per kernel: meaningful where the bound's SPLIT
+    # STRUCTURE ages between host refits (uniform sampling from
+    # multi-ellipsoid stacks — the device per-round refit re-shapes the
+    # existing ellipsoids but cannot re-decompose, so a thinning
+    # multimodal/annular region needs host resplits at the reference
+    # cadence; measured +15% shells ncall without it).
+    chain_stop_on_refit_due = False
+
+    def _refit_due_ncall(self, ns):
+        """ctrl[21]: absolute ncall at which the next host refit is due,
+        or 2^30 (gate disarmed).  Armed only when the kernel opted in
+        and the current decomposition is non-trivial — single-ellipsoid
+        stacks are fully refreshed by the device per-round refit, so
+        deep chains stay deep (heavy-likelihood dispatch amortization).
+        Pure function of pickled state (ncall / ncall_at_last_update /
+        bound), so resumed dispatches rebuild the identical gate."""
+        if (not self.chain_stop_on_refit_due
+                or ns.unit_cube_sampling
+                or getattr(ns.bound, "nells", 1) <= 1):
+            return 2.0 ** 30
+        return float(min(ns.ncall_at_last_update +
+                         ns.bound_update_interval, 2.0 ** 30))
 
     def apply_fused_tuning(self, out):
         """Adopt the tuning outcome of one fused dispatch on the host."""
@@ -633,6 +663,22 @@ class UniformBoundSampler(InternalSampler):
 
     _unif_rows = UnitCubeSampler._unif_rows
     consume_tuning = UnitCubeSampler.consume_tuning
+
+    chain_stop_on_refit_due = True
+
+    def device_chain_stop_fn(self):
+        """Host-refit-due trigger: stop the chain at the first round
+        boundary where cumulative ncall crosses the bound-refit cadence
+        (ctrl[21], see _refit_due_ncall) so the host BIC resplit runs at
+        the reference's queue-drain cadence instead of once per deep
+        dispatch.  The unif wave loop is already carry-dependent
+        (gate_rounds_on_done), so the extra gate costs no scan
+        pipelining."""
+        def gate(integ, counters, ctrl):
+            dt = ctrl.dtype
+            ncall_now = ctrl[18] + counters["nc_used"].astype(dt)
+            return ncall_now >= ctrl[21]
+        return gate
 
     def _build_propose_fn(self, ns, bound_kind):
         return _unif_propose_fn(self, ns, bound_kind)

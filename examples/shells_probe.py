@@ -27,8 +27,10 @@ def _emit(rec):
 
 
 def _bound_stats(b):
-    """(nells, union logvol) for a saved bound, both implementations."""
-    logvols = getattr(b, "logvols", None)
+    """(nells, union logvol) for a saved bound, both implementations
+    (ours stores per-ellipsoid ``logvols``; the reference
+    ``logvol_ells`` — both keep the union logsumexp in ``logvol``)."""
+    logvols = getattr(b, "logvols", getattr(b, "logvol_ells", None))
     if logvols is not None:
         m = np.max(logvols)
         return len(logvols), float(m + np.log(np.sum(np.exp(
@@ -70,6 +72,19 @@ def run_ref(seed):
         open(init, "w").write(src)
     import dynesty as refdy
 
+    # the reference's ``bound_list`` appends the LIVE bound object
+    # (``sampler.py:672``), so by run end every entry aliases the final
+    # bound; snapshot the deepcopy that ``update_bound`` already makes
+    snaps = []
+    orig_update = refdy.sampler.Sampler.update_bound
+
+    def patched(self, subset=slice(None)):
+        snap = orig_update(self, subset=subset)
+        snaps.append(snap)
+        return snap
+
+    refdy.sampler.Sampler.update_bound = patched
+
     r, w = 2.0, 0.1
     c1 = np.array([-3.5, 0.0])
     c2 = np.array([3.5, 0.0])
@@ -90,7 +105,7 @@ def run_ref(seed):
                             rstate=np.random.Generator(
                                 np.random.PCG64(seed)))
     s.run_nested(dlogz=0.05, print_progress=False, save_bounds=True)
-    return s.results, s.bound
+    return s.results, [s.bound_list[0]] + snaps
 
 def main():
     impl = sys.argv[1]

@@ -134,6 +134,53 @@ def test_eggbox():
     assert sampler.bound.nells > 1
 
 
+def test_refit_cadence_gate():
+    """With a non-trivial multi-ellipsoid decomposition the uniform
+    kernel's chained rounds must stop at the bound-refit cadence
+    (reference ``sampler.py:625-674`` checks every queue drain), so the
+    host BIC resplit runs every ~``update_interval`` calls instead of
+    once per deep dispatch — measured +15% shells ncall without it.
+    Also pins bit-exact pickle/resume with the gate armed (the due-point
+    is a pure function of pickled state)."""
+    tmax = 5.0 * np.pi
+
+    def loglike(x):
+        t = 2.0 * tmax * x - tmax
+        return (2.0 + jnp.cos(t[0] / 2.0) * jnp.cos(t[1] / 2.0)) ** 5.0
+
+    def ptform(u):
+        return u
+
+    def make():
+        return dytpu.NestedSampler(loglike, ptform, 2, nlive=300,
+                                   bound="multi", sample="unif",
+                                   rstate=get_rstate(), queue_size=128,
+                                   rounds_per_dispatch=8)
+
+    sampler = make()
+    sampler.run_nested(print_progress=False, dlogz=0.01)
+    assert sampler.bound.nells > 1
+    # cadence: once the decomposition is non-trivial, a refit lands at
+    # least every ~2x update_interval calls (one chained round of slack
+    # on either side of each due point)
+    t = sampler.timings
+    post_cube = sampler.ncall - sampler.first_bound_update_ncall
+    assert t["n_refit"] >= post_cube / (2 * sampler.bound_update_interval)
+
+    # bit-exact resume with the gate armed
+    import pickle
+    full = make()
+    full.run_nested(print_progress=False, dlogz=0.01)
+    part = make()
+    part.run_nested(maxiter=400, add_live=False, print_progress=False)
+    part2 = pickle.loads(pickle.dumps(part))
+    part2.run_nested(resume=True, print_progress=False, dlogz=0.01)
+    assert np.array_equal(np.asarray(full.results.logz),
+                          np.asarray(part2.results.logz))
+    assert np.array_equal(np.asarray(full.results.ncall),
+                          np.asarray(part2.results.ncall))
+
+
 @pytest.mark.slow
 def test_eggbox_mean_pull():
     """Multi-seed eggbox calibration gate: the per-seed 5-sigma gate above
